@@ -1,0 +1,26 @@
+"""Every registered query must match its DuckDB oracle at sf0.001 —
+the same check the driver runs at sf0.01 (CORRECTNESS gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aisdb_spark.queries import ORACLES, QUERIES
+from tests.conftest import SF_SMALL
+from tests.oracle import compare
+
+ORACLE_KEYS = sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, name):
+    df = QUERIES[name](spark, SF_SMALL)
+    compare(df, ORACLES[name], SF_SMALL)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.queries()) >= set(e.oracle_sql())
