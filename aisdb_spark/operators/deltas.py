@@ -46,11 +46,11 @@ def min_rate_filter(df: DataFrame, min_rate: float) -> DataFrame:
     its boundary behavior: the first turn (NULL delta) inherits the next
     delta's verdict — AISdb repeats the last delta to pad; we keep the first
     row when its *following* step passes (lead fallback)."""
-    d = with_deltas(df)
-    w = _w()
-    nxt = F.lead("rate").over(w)
-    eff = F.coalesce(F.abs(F.col("rate")), F.abs(nxt))
+    d = with_deltas(df).withColumn(
+        "_eff",
+        F.coalesce(F.abs(F.col("rate")), F.abs(F.lead("rate").over(_w()))),
+    )
     return (
-        d.filter((eff >= F.lit(min_rate)) | eff.isNull())
-        .drop("delta_us", "delta_value", "rate")
+        d.filter((F.col("_eff") >= F.lit(min_rate)) | F.col("_eff").isNull())
+        .drop("delta_us", "delta_value", "rate", "_eff")
     )

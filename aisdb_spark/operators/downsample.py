@@ -1,0 +1,92 @@
+"""Downsampling operators.
+
+AISdb reduces track density two ways: Visvalingam-Whyatt decimation at track
+build (``src/lib.rs:432-440``, used ``aisdb/track_gen.py:75``) and the
+server-side simplify+round pipeline (``database_server/src/
+aisdb_db_server.rs:429-495``). Graft set:
+
+- ``every_nth``: keep every Nth turn per conversation (rank-based, robust to
+  turn_idx holes) — pure Window, SQL-expressible, the cheap path.
+- ``bucket_first``: keep the first turn of each time bucket — grid
+  downsampling, pure built-ins.
+- ``lttb``: Largest-Triangle-Three-Buckets per (conv, segment) — the
+  perceptual decimation slot of VW, as a vectorized ``applyInPandas``
+  (numpy, no per-row Python).
+
+Scale: every_nth/bucket_first are window/agg on the shared conv_id
+exchange. lttb groups are bounded by prior segmentation; a hot conversation
+is pre-capped by ``plans.partitioning.cap_group_size`` before applyInPandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def every_nth(df: DataFrame, n: int) -> DataFrame:
+    """Keep every Nth turn per conversation, by in-conversation rank."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") - 1) % F.lit(n) == 0)
+        .drop("_rk")
+    )
+
+
+def bucket_first(df: DataFrame, unit: str = "minute") -> DataFrame:
+    """One row per (conv, time bucket): the earliest turn's value —
+    grid downsampling by temporal bin."""
+    return (
+        df.groupBy("conv_id", F.date_trunc(unit, "ts").alias("bucket_start"))
+        .agg(
+            F.min("turn_idx").alias("turn_idx"),
+            F.min_by("value", "turn_idx").alias("value"),
+        )
+    )
+
+
+def lttb(df: DataFrame, n_out: int = 64) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample to ≤ n_out points per
+    conversation (vectorized numpy per group).
+
+    Fills the decimation slot of AISdb's ``simplify_linestring_idx``
+    (``src/lib.rs:432-440``): keep first and last, then per bucket the point
+    maximizing triangle area against the previous kept point and the next
+    bucket's centroid. Deterministic (argmax ties → lowest index).
+    """
+    out_schema = "conv_id string, turn_idx int, ts timestamp, value long"
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+        m = len(pdf)
+        if m <= n_out:
+            return pdf[["conv_id", "turn_idx", "ts", "value"]]
+        x = pdf["ts"].astype("int64").to_numpy(dtype=np.float64)
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        # bucket boundaries over the interior points
+        bounds = np.linspace(1, m - 1, n_out - 1).astype(np.int64)
+        keep = [0]
+        a = 0
+        for i in range(n_out - 2):
+            lo, hi = bounds[i], bounds[i + 1]
+            nxt_lo, nxt_hi = (bounds[i + 1], m) if i == n_out - 3 else (
+                bounds[i + 1],
+                bounds[i + 2],
+            )
+            cx, cy = x[nxt_lo:nxt_hi].mean(), y[nxt_lo:nxt_hi].mean()
+            area = np.abs(
+                (x[a] - cx) * (y[lo:hi] - y[a]) - (x[a] - x[lo:hi]) * (cy - y[a])
+            )
+            a = lo + int(np.argmax(area))
+            keep.append(a)
+        keep.append(m - 1)
+        return pdf.iloc[sorted(set(keep))][["conv_id", "turn_idx", "ts", "value"]]
+
+    return (
+        df.select("conv_id", "turn_idx", "ts", "value")
+        .groupBy("conv_id")
+        .applyInPandas(_one, out_schema)
+    )

@@ -180,3 +180,323 @@ def time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").between("2024-01-10 00:00:00", "2024-01-20 00:00:00")
         & F.col("conv_id").isNotNull()
     )
+
+
+# ---------------------------------------------------------------------------
+# Milestone 2: transitions, mode aggregation, enrichment joins, dwell time,
+# downsampling, top-k, and exact-integer join/agg queries on the TPC-H-ish
+# driver tables.
+# ---------------------------------------------------------------------------
+
+from aisdb_spark.operators import (  # noqa: E402
+    downsample,
+    joins,
+    mode_agg,
+    timeinrange,
+    transitions,
+)
+
+_RUNS_CTE = """
+runs0 AS (
+  SELECT conv_id, turn_idx, role, value, ts,
+    CASE WHEN lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL THEN 1
+         WHEN role IS DISTINCT FROM lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) THEN 1
+         ELSE 0 END AS flag
+  FROM tv
+),
+runs AS (
+  SELECT *, CAST(sum(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx
+    ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS run_id
+  FROM runs0
+)"""
+
+
+@query(
+    "transition_edges",
+    f"""{_PRELUDE},{_RUNS_CTE},
+per_run AS (
+  SELECT conv_id, run_id,
+    min_by(role, turn_idx) AS src,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(sum(value) AS BIGINT) AS sum_value,
+    min(turn_idx) AS start_turn_idx, max(turn_idx) AS end_turn_idx,
+    min(ts) AS start_ts, max(ts) AS end_ts
+  FROM runs GROUP BY 1, 2
+)
+SELECT conv_id, run_id, src, n_turns, sum_value,
+  start_turn_idx, end_turn_idx, start_ts, end_ts,
+  lead(src) OVER (PARTITION BY conv_id ORDER BY run_id) AS dst,
+  epoch_us(end_ts) - epoch_us(start_ts) AS elapsed_us
+FROM per_run""",
+)
+def transition_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition edge table (aisdb/network_graph.py:213-251 analog)."""
+    return transitions.transition_edges(_tv(spark, sf_dir), key="role")
+
+
+_META_CTE = """
+base AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, min(ts) AS created_ts,
+    CAST(sum(value) AS BIGINT) AS total_value
+  FROM tv GROUP BY 1
+),
+rc AS (SELECT conv_id, role, count(*) AS c FROM tv WHERE role IS NOT NULL GROUP BY 1, 2),
+rm AS (
+  SELECT conv_id, role AS mode_role FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY c DESC, role ASC) AS rn FROM rc
+  ) WHERE rn = 1
+),
+tc AS (SELECT conv_id, tool, count(*) AS c FROM tv WHERE tool IS NOT NULL GROUP BY 1, 2),
+tm AS (
+  SELECT conv_id, tool AS mode_tool FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY c DESC, tool ASC) AS rn FROM tc
+  ) WHERE rn = 1
+)"""
+
+
+@query(
+    "conv_meta",
+    f"""{_PRELUDE},{_META_CTE}
+SELECT base.conv_id, n_turns, created_ts, total_value, mode_role, mode_tool
+FROM base LEFT JOIN rm USING (conv_id) LEFT JOIN tm USING (conv_id)""",
+)
+def conv_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation static aggregate with deterministic mode
+    (aisdb/database/dbconn.py:110-197 analog, distributed)."""
+    return mode_agg.conv_meta(_tv(spark, sf_dir)).select(
+        "conv_id", "n_turns", "created_ts", "total_value", "mode_role", "mode_tool"
+    )
+
+
+@query(
+    "enrich_join",
+    f"""{_PRELUDE},{_META_CTE},
+ref AS (SELECT * FROM (VALUES
+  ('user','human'), ('assistant','model'),
+  ('system','orchestrator'), ('tool','machine')) AS t(role_code, role_txt)),
+meta AS (
+  SELECT base.conv_id, n_turns, created_ts, mode_role
+  FROM base LEFT JOIN rm USING (conv_id)
+)
+SELECT tv.conv_id, turn_idx, role, text, tool, ts, value,
+  mode_role, meta.n_turns AS n_turns, created_ts, role_txt
+FROM tv
+LEFT JOIN meta ON tv.conv_id = meta.conv_id
+LEFT JOIN ref ON meta.mode_role = ref.role_code""",
+)
+def enrich_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dynamic ⟕ static-aggregate ⟕ broadcast dim chain
+    (aisdb/aisdb_sql/select_join_dynamic_static_clusteredidx.sql:1-31)."""
+    return joins.enrich_transcripts(spark, _tv(spark, sf_dir))
+
+
+@query(
+    "time_in_range",
+    f"""{_PRELUDE},
+banded AS (SELECT conv_id, turn_idx, ts FROM tv WHERE value BETWEEN 14 AND 16),
+flagged AS (
+  SELECT conv_id, turn_idx, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) > 60000000
+    THEN 1 ELSE 0 END AS flag
+  FROM banded
+),
+sess AS (
+  SELECT conv_id, turn_idx, ts,
+    sum(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS UNBOUNDED PRECEDING) AS _sess
+  FROM flagged
+),
+per_sess AS (
+  SELECT conv_id, _sess, CAST(count(*) AS BIGINT) AS n,
+    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM sess GROUP BY 1, 2
+)
+SELECT conv_id, CAST(sum(n) AS BIGINT) AS n_points,
+  CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(dur_us) AS BIGINT) AS total_us,
+  CAST(floor(sum(dur_us) / 60000000) AS BIGINT) AS total_minutes
+FROM per_sess GROUP BY 1""",
+)
+def time_in_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time with value in [14,16], 60s sessionization
+    (aisdb/network_graph.py:51-67 analog)."""
+    return timeinrange.time_in_range(_tv(spark, sf_dir), 14, 16, 60)
+
+
+@query(
+    "downsample_every_5",
+    f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rk
+  FROM transcripts
+) WHERE (rk - 1) % 5 = 0""",
+)
+def downsample_every_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-Nth decimation (VW decimation slot, src/lib.rs:432-440)."""
+    return downsample.every_nth(load_transcripts(spark, sf_dir), 5).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+@query(
+    "downsample_bucket_first",
+    f"""{_PRELUDE}
+SELECT conv_id, date_trunc('minute', ts) AS bucket_start,
+  min(turn_idx) AS turn_idx, min_by(value, turn_idx) AS value
+FROM tv GROUP BY 1, 2""",
+)
+def downsample_bucket_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid downsampling: first point per (conv, minute)."""
+    return downsample.bucket_first(_tv(spark, sf_dir), "minute")
+
+
+@query(
+    "topk_turns",
+    f"""{_PRELUDE}
+SELECT conv_id, turn_idx, value FROM (
+  SELECT conv_id, turn_idx, value,
+    row_number() OVER (PARTITION BY conv_id ORDER BY value DESC, turn_idx ASC) AS rk
+  FROM tv
+) WHERE rk <= 3""",
+)
+def topk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest turns per conversation (window top-k idiom)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("value").desc(), F.col("turn_idx").asc()
+    )
+    return (
+        _tv(spark, sf_dir)
+        .select("conv_id", "turn_idx", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+@query(
+    "multi_split_segments",
+    f"""{_PRELUDE},
+flagged AS (
+  SELECT conv_id, turn_idx, ts, value,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) >= 3600000000 THEN 1
+         WHEN abs(value - lag(value) OVER (PARTITION BY conv_id ORDER BY turn_idx)) >= 3 THEN 1
+         ELSE 0 END AS flag
+  FROM tv
+),
+seg AS (
+  SELECT conv_id, turn_idx,
+    CAST(sum(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS segment_id
+  FROM flagged
+),
+sized AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY conv_id, segment_id) AS INTEGER) AS segment_len
+  FROM seg
+)
+SELECT conv_id, turn_idx, segment_id, segment_len FROM sized WHERE segment_len >= 2""",
+)
+def multi_split_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-criterion split + short-segment drop
+    (aisdb/track_gen.py:207-263, aisdb/proc_util.py:160-163)."""
+    from aisdb_spark.operators import segmentation
+
+    return segmentation.multi_criteria_split(
+        _tv(spark, sf_dir),
+        gap_seconds=3600,
+        max_value_jump=3,
+        max_rate=None,
+        min_segment_length=2,
+    ).select("conv_id", "turn_idx", "segment_id", "segment_len")
+
+
+@query(
+    "min_rate_filter",
+    f"""{_PRELUDE},
+d AS (
+  SELECT conv_id, turn_idx, value,
+    CAST(value - lag(value) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS DOUBLE)
+      / greatest(CAST(floor((epoch_us(ts) - lag(epoch_us(ts))
+          OVER (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000) AS DOUBLE), 1.0)
+      AS rate
+  FROM tv
+),
+d2 AS (
+  SELECT *, coalesce(abs(rate),
+    abs(lead(rate) OVER (PARTITION BY conv_id ORDER BY turn_idx))) AS eff
+  FROM d
+)
+SELECT conv_id, turn_idx, value FROM d2 WHERE eff >= 0.05 OR eff IS NULL""",
+)
+def min_rate_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-rate filter (min_speed_filter, aisdb/track_gen.py:287-300)."""
+    from aisdb_spark.operators import deltas as deltas_mod
+
+    return deltas_mod.min_rate_filter(_tv(spark, sf_dir), 0.05).select(
+        "conv_id", "turn_idx", "value"
+    )
+
+
+# --- exact-integer join/agg queries on the TPC-H-ish driver tables --------
+# Monetary sums use integer cents (CAST(round(x*100) AS BIGINT)) so the
+# aggregation is order-independent and bit-identical across engines — the
+# same trick the engine uses for rollup byte-matching.
+
+_Q1_MEASURES = """
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
+  CAST(count(*) AS BIGINT) AS count_order"""
+
+
+@query(
+    "pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,{_Q1_MEASURES}
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg with exact integer measures; Catalyst pushes
+    the shipdate filter into the parquet scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""SELECT l_returnflag, l_linestatus,{_Q1_MEASURES}
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2"""
+    )
+
+
+@query(
+    "orders_by_nation",
+    """SELECT n_name,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1""",
+)
+def orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join: fact ⋈ customer ⋈ broadcast nation dim (the reference's
+    dynamic⋈static⋈coarsetype chain shape on the driver tables)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "total_cents"
+            ),
+        )
+    )
