@@ -1,0 +1,148 @@
+"""Gap-fill interpolation and smoothing — vectorized applyInPandas.
+
+Re-expresses AISdb's interpolation family (``aisdb/interp.py``):
+
+- ``interp_time`` (``aisdb/interp.py:57-118``): per segment, build the
+  regular grid ``arange(t0, tn + step, step)`` (inclusive-end semantics of
+  ``aisdb/interp.py:25-32`` — the last grid point may exceed tn; values
+  clamp to the boundary sample like ``np.interp``) and linearly interpolate
+  the value series onto it. Length-≤1 segments are skipped
+  (``aisdb/interp.py:98-100``).
+- EWMA gap-fill: named by the north rule alongside interp_time; pandas
+  ``ewm(alpha, adjust=True)`` semantics, implemented recursively in numpy.
+- ``interp_spacing`` (``aisdb/interp.py:195-270``): resample every N units
+  of cumulative value (the cumulative-distance analog).
+
+Implementation notes (the byte-match discipline):
+
+- Interpolation uses the explicit two-point formula
+  ``prev_v + (next_v - prev_v) * (gt - prev_t) / (next_t - prev_t)`` with a
+  fixed operation order, NOT ``np.interp`` (whose slope-first formula rounds
+  differently) — the DuckDB oracle evaluates the identical expression, so
+  results are bit-equal across engines.
+- Timestamps are exact int64 microseconds end-to-end.
+
+Scale: one ``applyInPandas`` over (conv_id, segment_id) groups — group size
+is bounded by prior gap segmentation; pathological hot conversations are
+pre-capped (``plans/partitioning.py``). Arrow batches keep all math in
+numpy; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_INTERP_SCHEMA = "conv_id string, segment_id int, ts timestamp, value double"
+
+
+def _grid_interp(t: np.ndarray, v: np.ndarray, step_us: int) -> tuple[np.ndarray, np.ndarray]:
+    """arange-grid + clamped two-point linear interpolation (fixed op order)."""
+    t0, tn = t[0], t[-1]
+    grid = np.arange(t0, tn + step_us, step_us, dtype=np.int64)
+    # prev sample index for each grid point (grid >= t0 so idx >= 0 after clip)
+    idx = np.searchsorted(t, grid, side="right") - 1
+    idx = np.clip(idx, 0, len(t) - 1)
+    nxt = np.clip(idx + 1, 0, len(t) - 1)
+    prev_t, next_t = t[idx], t[nxt]
+    prev_v, next_v = v[idx], v[nxt]
+    dt = next_t - prev_t
+    safe_dt = np.where(dt == 0, 1, dt)
+    out = prev_v + (next_v - prev_v) * (grid - prev_t) / safe_dt
+    out = np.where(dt == 0, prev_v, out)
+    return grid, out
+
+
+def interp_time(df: DataFrame, step_seconds: int = 600) -> DataFrame:
+    """Per (conv_id, segment_id): linear resample onto the regular grid.
+
+    Input must carry ``segment_id`` (run gap_split first) and ``value``.
+    Segments with ≤1 row are dropped (aisdb/interp.py:98-100).
+    """
+    step_us = int(step_seconds) * 1_000_000
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1:
+            return pd.DataFrame(
+                columns=["conv_id", "segment_id", "ts", "value"]
+            ).astype({"segment_id": "int32", "value": "float64"})
+        # dedup by timestamp keeping the last turn — the spline/interp
+        # dedup-by-time precedent (aisdb/interp.py:275-289)
+        pdf = pdf.sort_values("turn_idx").drop_duplicates(subset="ts", keep="last")
+        if len(pdf) <= 1:
+            return pd.DataFrame(
+                columns=["conv_id", "segment_id", "ts", "value"]
+            ).astype({"segment_id": "int32", "value": "float64"})
+        t = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        grid, out = _grid_interp(t, v, step_us)
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "segment_id": np.int32(pdf["segment_id"].iloc[0]),
+                "ts": pd.to_datetime(grid, unit="us"),
+                "value": out,
+            }
+        )
+
+    return (
+        df.select("conv_id", "segment_id", "turn_idx", "ts", "value")
+        .groupBy("conv_id", "segment_id")
+        .applyInPandas(_one, _INTERP_SCHEMA)
+    )
+
+
+def ewma(df: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """EWMA of the value series per conversation, in turn order.
+
+    pandas ``ewm(alpha=alpha, adjust=True).mean()`` semantics via the
+    recursive form num_t = x_t + (1-α)·num_{t-1}; den_t = 1 + (1-α)·den_{t-1}
+    — vectorizable per group and deterministic (fixed order within group).
+    Output: (conv_id, turn_idx, ts, value, ewma_value).
+    """
+    w = 1.0 - alpha
+    schema = "conv_id string, turn_idx int, ts timestamp, value long, ewma_value double"
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        num = np.empty_like(x)
+        den = np.empty_like(x)
+        n_acc = 0.0
+        d_acc = 0.0
+        for i in range(len(x)):  # short per-group loop over numpy scalars
+            n_acc = x[i] + w * n_acc
+            d_acc = 1.0 + w * d_acc
+            num[i] = n_acc
+            den[i] = d_acc
+        pdf["ewma_value"] = num / den
+        return pdf[["conv_id", "turn_idx", "ts", "value", "ewma_value"]]
+
+    return (
+        df.select("conv_id", "turn_idx", "ts", "value")
+        .groupBy("conv_id")
+        .applyInPandas(_one, schema)
+    )
+
+
+def interp_spacing(df: DataFrame, spacing: int = 100) -> DataFrame:
+    """Keep the first turn crossing each N-unit boundary of cumulative value
+    (aisdb/interp.py:195-270 cumulative-distance resampling, discretized).
+
+    Pure Window expression — no UDF: cum = running sum(value); keep rows
+    where floor(cum/N) > floor(prev_cum/N), plus each conversation's first.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cum = F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    d = df.withColumn("_cum", cum).withColumn(
+        "_prev_cum", F.lag("_cum").over(w)
+    )
+    keep = F.col("_prev_cum").isNull() | (
+        F.floor(F.col("_cum") / F.lit(spacing))
+        > F.floor(F.col("_prev_cum") / F.lit(spacing))
+    )
+    return d.filter(keep).drop("_cum", "_prev_cum")

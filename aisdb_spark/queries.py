@@ -500,3 +500,143 @@ def orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Milestone 3: gap-fill interpolation (applyInPandas), EWMA, spacing
+# resample, LTTB. interp_time's oracle reproduces the two-point formula with
+# identical IEEE op order via DuckDB ASOF joins — bit-equal doubles.
+# ---------------------------------------------------------------------------
+
+from aisdb_spark.operators import interp, segmentation as seg_mod  # noqa: E402
+
+_SEG_CTE = """
+sflag AS (
+  SELECT conv_id, turn_idx, ts, value,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) >= 3600000000
+    THEN 1 ELSE 0 END AS flag
+  FROM tv
+),
+segd AS (
+  SELECT conv_id, turn_idx, ts, value,
+    CAST(sum(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS segment_id
+  FROM sflag
+)"""
+
+
+@query(
+    "interp_time_10min",
+    f"""{_PRELUDE},{_SEG_CTE},
+samples AS (
+  SELECT conv_id, segment_id, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, segment_id, ts ORDER BY turn_idx DESC) AS rn
+    FROM segd
+  ) WHERE rn = 1
+),
+bounds AS (
+  SELECT conv_id, segment_id, min(t) AS t0, max(t) AS tn
+  FROM samples GROUP BY 1, 2 HAVING count(*) > 1
+),
+grid AS (
+  SELECT conv_id, segment_id, unnest(range(t0, tn + 600000000, 600000000)) AS gt
+  FROM bounds
+),
+prevj AS (
+  SELECT g.conv_id, g.segment_id, g.gt, s.t AS prev_t, s.v AS prev_v
+  FROM grid g ASOF LEFT JOIN samples s
+    ON g.conv_id = s.conv_id AND g.segment_id = s.segment_id AND g.gt >= s.t
+),
+bothj AS (
+  SELECT p.conv_id, p.segment_id, p.gt, p.prev_t, p.prev_v, s2.t AS next_t, s2.v AS next_v
+  FROM prevj p ASOF LEFT JOIN samples s2
+    ON p.conv_id = s2.conv_id AND p.segment_id = s2.segment_id AND p.gt <= s2.t
+)
+SELECT conv_id, segment_id, make_timestamp(gt) AS ts,
+  CASE WHEN next_t IS NULL OR next_t = prev_t THEN prev_v
+       ELSE prev_v + (next_v - prev_v) * (gt - prev_t) / (next_t - prev_t)
+  END AS value
+FROM bothj""",
+)
+def interp_time_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill onto a 10-minute regular grid per (conv, segment)
+    (aisdb/interp.py:57-118 semantics incl. inclusive-end arange grid,
+    len<=1 skip, boundary clamping)."""
+    segd = seg_mod.gap_split(_tv(spark, sf_dir), gap_seconds=3600)
+    return interp.interp_time(segd, step_seconds=600)
+
+
+@query("ewma_03")  # adjust=True EWMA is not cleanly SQL-expressible → rows-only
+def ewma_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing per conversation (north-rule gap-fill variant)."""
+    return interp.ewma(_tv(spark, sf_dir), alpha=0.3)
+
+
+@query(
+    "interp_spacing_100",
+    f"""{_PRELUDE},
+cums AS (
+  SELECT conv_id, turn_idx, value,
+    sum(value) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS UNBOUNDED PRECEDING) AS _cum
+  FROM tv
+),
+lagged AS (
+  SELECT conv_id, turn_idx, value, _cum,
+    lag(_cum) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS _prev
+  FROM cums
+)
+SELECT conv_id, turn_idx, value FROM lagged
+WHERE _prev IS NULL OR floor(_cum / 100) > floor(_prev / 100)""",
+)
+def interp_spacing_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-value spacing resample (aisdb/interp.py:195-270 analog)."""
+    return interp.interp_spacing(_tv(spark, sf_dir), spacing=100).select(
+        "conv_id", "turn_idx", "value"
+    )
+
+
+@query("lttb_64")  # imperative bucket argmax → rows-only driver check
+def lttb_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets decimation to ≤64 points/conversation
+    (VW-decimation slot, src/lib.rs:432-440)."""
+    return downsample.lttb(_tv(spark, sf_dir), n_out=64)
+
+
+# ---------------------------------------------------------------------------
+# Milestone 4: Gorilla codec round-trip + per-entity compression metrics.
+# The round-trip oracle is the identity query — decode(encode(series)) must
+# reproduce (conv_id, ts, value) exactly, so the oracle is a plain SELECT.
+# ---------------------------------------------------------------------------
+
+from aisdb_spark.operators import codec  # noqa: E402
+
+
+@query(
+    "gorilla_roundtrip",
+    f"""{_PRELUDE}
+SELECT conv_id, ts, CAST(value AS DOUBLE) AS value FROM tv""",
+)
+def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla delta-of-delta + XOR encode → decode identity
+    (codec spec: Pelkonen et al. VLDB'15; layout precedent
+    aisdb/aisdb_sql/timescale_createtable_dynamic.sql:24-29)."""
+    enc = codec.compress_conversations(_tv(spark, sf_dir))
+    return codec.decompress_conversations(enc)
+
+
+@query("gorilla_metrics")  # per-partition lineage metrics → rows-only
+def gorilla_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation compression lineage: points, raw vs encoded bytes,
+    ratio (the decode-rate metrics analog, aisdb_lib/src/decode.rs:228-257)."""
+    enc = codec.compress_conversations(_tv(spark, sf_dir))
+    return enc.select(
+        "conv_id",
+        "n_points",
+        "raw_bytes",
+        "enc_bytes",
+        F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3).alias("ratio"),
+    )

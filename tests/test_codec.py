@@ -1,0 +1,61 @@
+"""Gorilla codec: bit-level round-trip identity (FIXTURES.md golden #4),
+pure-python fuzz + Spark end-to-end."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from aisdb_spark.operators.codec import (
+    decode_ts,
+    decode_vals,
+    encode_ts,
+    encode_vals,
+)
+
+
+def test_codec_fuzz_roundtrip():
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n = int(rng.integers(0, 400))
+        base = int(rng.integers(1_600_000_000_000_000, 1_800_000_000_000_000))
+        steps = np.abs(
+            rng.choice([1_000_000, 60_000_000, 1], size=max(n - 1, 0))
+            + rng.integers(-500, 500, size=max(n - 1, 0))
+        ) + 1
+        ts = (
+            np.concatenate([[base], base + np.cumsum(steps)]).astype(np.int64)[:n]
+            if n
+            else np.empty(0, dtype=np.int64)
+        )
+        assert np.array_equal(decode_ts(encode_ts(ts)), ts)
+        v = rng.standard_normal(n)
+        if n > 4:
+            v[::5] = np.inf
+            v[1::7] = -0.0
+            v[2::11] = v[1::11][: len(v[2::11])]  # repeats → '0' control bits
+        got = decode_vals(encode_vals(v))
+        assert np.array_equal(
+            got.view(np.uint64), np.ascontiguousarray(v).view(np.uint64)
+        )
+
+
+def test_codec_compresses_regular_series():
+    ts = np.arange(5000, dtype=np.int64) * 60_000_000 + 1_700_000_000_000_000
+    rng = np.random.default_rng(1)
+    v = np.round(np.cumsum(rng.standard_normal(5000))).astype(np.float64)
+    assert 5000 * 8 / len(encode_ts(ts)) > 20  # dod stream ~1 bit/point
+    assert 5000 * 8 / len(encode_vals(v)) > 3
+
+
+def test_spark_roundtrip_identity(spark, synth):
+    from aisdb_spark.operators import codec, dedup
+    from aisdb_spark.sources.transcripts import with_value
+
+    tv = with_value(dedup.dedup_turns(synth)).filter(F.col("value").isNotNull())
+    enc = codec.compress_conversations(tv)
+    dec = codec.decompress_conversations(enc)
+    src = tv.select("conv_id", "ts", F.col("value").cast("double").alias("value"))
+    assert dec.count() == src.count()
+    assert dec.exceptAll(src).count() == 0
+    assert src.exceptAll(dec).count() == 0
