@@ -1,0 +1,134 @@
+"""Resumable tiered materialization with per-tier lineage + metrics.
+
+AISdb's resumability is a file-checksum ledger: md5 of each input file is
+recorded in a ``hashmap`` table and already-ingested files are skipped
+(``aisdb/database/decoder.py:21-116``, ``:199-259``). The Spark-first analog
+is snapshot-fingerprint checkpointing: each retention tier directory carries
+a manifest recording the input fingerprint that produced it; a re-run with
+the same fingerprint skips the tier (idempotent), a changed fingerprint
+rebuilds it. Writes are full-directory atomic-ish overwrites (parquet,
+day-partitioned) — never appends — so a killed run resumes to *identical*
+output (SURVEY.md §7 hard-point (c): overwrite-by-partition, no
+double-counting). With an Iceberg catalog on the cluster, the manifest
+becomes the snapshot id and the overwrite becomes
+``overwritePartitions()`` — same contract, catalog-managed.
+
+Metrics: per tier the manifest records rows, bytes, files, and wall seconds
+— the lineage + throughput surface the north rule requires (decode-rate
+precedent: ``aisdb_lib/src/decode.rs:228-257``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aisdb_spark.operators import rollup
+
+MANIFEST = "_tier_manifest.json"
+
+
+def input_fingerprint(df: DataFrame) -> dict:
+    """Cheap deterministic fingerprint of the tier input: row count + ts
+    range + value checksum (all integer-exact). The Iceberg-snapshot-id
+    analog for plain parquet."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+        F.sum("value").alias("chk"),
+    ).collect()[0]
+    return {
+        "rows": row["n"],
+        "ts_min": str(row["lo"]),
+        "ts_max": str(row["hi"]),
+        "value_checksum": int(row["chk"]) if row["chk"] is not None else 0,
+    }
+
+
+def _manifest_path(tier_dir: str) -> str:
+    return os.path.join(tier_dir, MANIFEST)
+
+
+def _read_manifest(tier_dir: str) -> dict | None:
+    try:
+        with open(_manifest_path(tier_dir)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def write_tier(
+    df: DataFrame, tier_dir: str, fingerprint: dict, partition_by_day: bool = True
+) -> dict:
+    """Materialize one tier: day-partitioned zstd parquet + manifest.
+
+    Day partitioning mirrors the reference's monthly-table / 7-day-chunk
+    range layout (``aisdb/database/sqlfcn_callbacks.py:17-20``) — time-range
+    queries on the tier prune whole directories.
+    """
+    t0 = time.monotonic()
+    writer = df.withColumn(
+        "bucket_date", F.to_date("bucket_start")
+    ) if partition_by_day else df
+    w = writer.write.mode("overwrite")
+    if partition_by_day:
+        w = w.partitionBy("bucket_date")
+    w.parquet(tier_dir)
+    elapsed = time.monotonic() - t0
+    spark = df.sparkSession
+    out_rows = spark.read.parquet(tier_dir).count()
+    nbytes = sum(
+        os.path.getsize(os.path.join(r, fn))
+        for r, _, fns in os.walk(tier_dir)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    manifest = {
+        "fingerprint": fingerprint,
+        "rows": out_rows,
+        "bytes": nbytes,
+        "seconds": round(elapsed, 3),
+    }
+    with open(_manifest_path(tier_dir), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def materialize_cascade(
+    spark: SparkSession,
+    tv: DataFrame,
+    base_dir: str,
+    force: bool = False,
+) -> dict[str, dict]:
+    """Materialize raw→1min→1h→1d, each tier read back from its parquet
+    before feeding the next (cuts lineage; each tier computed exactly once).
+
+    Resume semantics: a tier whose manifest fingerprint matches the current
+    input is skipped (``"skipped": True`` in the returned metrics). Output
+    after kill+rerun is identical to a clean run — integer-exact measures
+    plus overwrite (not append) writes guarantee it.
+    """
+    fp = input_fingerprint(tv)
+    results: dict[str, dict] = {}
+    upstream = tv
+    specs = [("1min", "minute", True), ("1h", "hour", False), ("1d", "day", False)]
+    for name, unit, from_raw in specs:
+        tier_dir = os.path.join(base_dir, name)
+        existing = _read_manifest(tier_dir)
+        if not force and existing and existing.get("fingerprint") == fp:
+            results[name] = {**existing, "skipped": True}
+            upstream = spark.read.parquet(tier_dir).drop("bucket_date")
+            continue
+        tier_df = (
+            rollup.temporal_bin(upstream, unit)
+            if from_raw
+            else rollup.tier_from_finer(upstream, unit)
+        )
+        results[name] = write_tier(tier_df, tier_dir, fp)
+        upstream = spark.read.parquet(tier_dir).drop("bucket_date")
+    return results

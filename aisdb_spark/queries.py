@@ -640,3 +640,78 @@ def gorilla_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "enc_bytes",
         F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3).alias("ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Milestone 5: as-of joins (weather/raster nearest-lookup analogs).
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from aisdb_spark.operators import asof  # noqa: E402
+from aisdb_spark.sources.transcripts import load_events  # noqa: E402
+
+
+@query(
+    "asof_last_tool",
+    f"""{_PRELUDE},
+probe AS (SELECT conv_id, turn_idx, ts FROM tv WHERE role = 'user'),
+ref AS (
+  SELECT conv_id, ts AS rts, CAST(max(value) AS DOUBLE) AS ref_value
+  FROM tv WHERE role = 'tool' GROUP BY 1, 2
+)
+SELECT p.conv_id, p.turn_idx, p.ts, r.rts AS ref_ts, r.ref_value
+FROM probe p ASOF LEFT JOIN ref r
+  ON p.conv_id = r.conv_id AND p.ts >= r.rts""",
+)
+def asof_last_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user turn: the most recent tool turn's value at or before it —
+    keyed backward as-of join via the union-window idiom (the scalable
+    re-expression of AISdb's nearest weather lookup,
+    aisdb/weather/data_store.py:160-168)."""
+    tv = _tv(spark, sf_dir)
+    probe = tv.filter(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    ref = (
+        tv.filter(F.col("role") == "tool")
+        .groupBy("conv_id", "ts")
+        .agg(F.max("value").cast("double").alias("ref_value"))
+    )
+    return asof.asof_join_keyed(probe, ref, key="conv_id", value_cols=("ref_value",))
+
+
+@query(
+    "asof_signups_so_far",
+    f"""{_PRELUDE},
+sign AS (
+  SELECT ts AS rts,
+    row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'signup'
+),
+uniq AS (SELECT rts, CAST(max(rn) AS DOUBLE) AS ref_value FROM sign GROUP BY 1)
+SELECT t.conv_id, t.turn_idx, t.ts, r.ref_value AS signups_so_far
+FROM transcripts t ASOF LEFT JOIN uniq r ON t.ts >= r.rts""",
+)
+def asof_signups_so_far(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-keyed as-of lookup against a broadcast sorted reference (cumulative
+    signup count) — np.searchsorted in a pandas UDF, the direct analog of
+    binarysearch_vector (src/lib.rs:514-539)."""
+    ev = load_events(spark, sf_dir)
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("ts")
+        .orderBy("ts")
+        .collect()
+    )  # reference side is dim-sized: collect+broadcast is the raster pattern
+    ts_us = (
+        np.array([r.ts for r in sign], dtype="datetime64[us]").astype(np.int64)
+        if sign
+        else np.empty(0, dtype=np.int64)
+    )
+    # cumulative count at each unique ts (last occurrence wins)
+    uniq_ts, counts = np.unique(ts_us, return_counts=True)
+    cum = np.cumsum(counts).astype(np.float64)
+    t = load_transcripts(spark, sf_dir)
+    return asof.asof_lookup_broadcast(
+        spark, t.select("conv_id", "turn_idx", "ts"), uniq_ts, cum,
+        out_col="signups_so_far",
+    )
