@@ -715,3 +715,192 @@ def asof_signups_so_far(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, t.select("conv_id", "turn_idx", "ts"), uniq_ts, cum,
         out_col="signups_so_far",
     )
+
+
+# ---------------------------------------------------------------------------
+# Milestone 6: training-data pipeline ops over documents — text analysis,
+# exact dedup, MinHash-LSH / SimHash / n-gram-Jaccard near-dup. Oracles are
+# generated from the same dialect templates (shared md5-derived hashes and
+# permutation constants), so signatures are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+from aisdb_spark import textops  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return d
+
+
+@query(
+    "text_analysis",
+    f"SELECT {textops.text_analysis_select(True)}\nFROM documents",
+)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic, token counting, quality scoring, content
+    fingerprint — all list expressions, no UDFs."""
+    _docs(spark, sf_dir)
+    return spark.sql(f"SELECT {textops.text_analysis_select(False)}\nFROM documents")
+
+
+@query(
+    "exact_dedup",
+    """WITH doubled AS (
+  SELECT * FROM documents UNION ALL SELECT * FROM documents
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS h,
+  CAST(count(*) AS BIGINT) AS n_copies
+FROM doubled GROUP BY md5(text)""",
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash on a doubled corpus (each doc must
+    collapse to one row with n_copies=2)."""
+    d = _docs(spark, sf_dir)
+    return textops.exact_dedup(d.unionAll(d))
+
+
+def _minhash_oracle() -> str:
+    sigs = textops.minhash_sig_exprs(True, "t")
+    sig_cols = ",\n    ".join(f"{e} AS mh{i}" for i, e in enumerate(sigs))
+    band_selects = []
+    for b in range(textops.LSH_BANDS):
+        cols = ", ".join(
+            f"mh{b * textops.LSH_ROWS + r}" for r in range(textops.LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bkey "
+            f"FROM mh WHERE mh0 IS NOT NULL"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    sh = textops.dialect(True)["shingles"].format(t="t")
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+mh AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM toks
+),
+bands AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+),
+sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM toks)
+SELECT doc1, doc2,
+  round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(s1.s, s2.s))), 6) AS jaccard
+FROM cand
+JOIN sh s1 ON cand.doc1 = s1.doc_id
+JOIN sh s2 ON cand.doc2 = s2.doc_id
+WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.5"""
+
+
+@query("minhash_lsh_pairs", None)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms) + LSH(4 bands × 2) candidate pairs, Jaccard-verified
+    ≥ 0.5 — shingle→minhash→band→bucket-join, all built-ins."""
+    return textops.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+ORACLES["minhash_lsh_pairs"] = _minhash_oracle()
+
+
+def _simhash_oracle() -> str:
+    toks = textops.dialect(True)["tokens"].format(t="text")
+    sim = textops.simhash32_expr(True, toks)
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bkey FROM sh"
+        for b in range(4)
+    )
+    return f"""WITH sh AS (SELECT doc_id, {sim} AS simhash FROM documents),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+    bit_count(xor(l.simhash::UBIGINT, r.simhash::UBIGINT)) AS hamming
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+SELECT doc1, doc2, CAST(hamming AS INTEGER) AS hamming FROM cand WHERE hamming <= 4"""
+
+
+@query("simhash_near_pairs", None)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 near-dup pairs (banded blocking + Hamming verify)."""
+    return textops.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=4).select(
+        "doc1", "doc2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+ORACLES["simhash_near_pairs"] = _simhash_oracle()
+
+
+def _ngram_oracle() -> str:
+    sh = textops.dialect(True)["shingles"].format(
+        t=textops.dialect(True)["tokens"].format(t="text")
+    )
+    return f"""WITH d AS (
+  SELECT doc_id, source, list_distinct({sh}) AS s FROM documents
+)
+SELECT l.doc_id AS doc1, r.doc_id AS doc2,
+  round(CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(l.s, r.s))), 6) AS jaccard
+FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
+WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(l.s, r.s))) >= 0.4"""
+
+
+@query("ngram_jaccard_pairs", None)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise 3-gram Jaccard near-dup (block on source)."""
+    return textops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+ORACLES["ngram_jaccard_pairs"] = _ngram_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Milestone 6b: embedding similarity — brute-force cosine top-k (oracle),
+# LSH-bucketed ANN (rows-only), cosine near-dup pairs (oracle).
+# ---------------------------------------------------------------------------
+
+from aisdb_spark import similarity  # noqa: E402
+
+
+def _bf_sql(duck: bool) -> str:
+    cos = similarity.cosine_expr("embedding", "qe", duck)
+    return f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, {cos} AS cos
+FROM embeddings CROSS JOIN q
+WHERE vec_id != 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+@query("ann_brute_force_top10", _bf_sql(duck=True))
+def ann_brute_force_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query vector — explicit
+    left-fold dot products (bit-equal across engines); physical plan is a
+    scan + TakeOrderedAndProject (no global sort)."""
+    similarity.load_embeddings(spark, sf_dir)
+    return spark.sql(_bf_sql(duck=False))
+
+
+@query("ann_lsh_top10", None)
+def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH sign-bucket ANN with Hamming-1 multi-probe (the scale path —
+    bucket pruning replaces the full scan)."""
+    q = similarity.query_vector(spark, sf_dir, vec_id=0)
+    return similarity.ann_topk(spark, sf_dir, q, k=10, n_planes=4)
+
+
+@query("cosine_near_pairs", similarity.cosine_near_pairs_oracle(0.95))
+def cosine_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (blocked on label)."""
+    return similarity.cosine_near_pairs(spark, sf_dir, threshold=0.95)

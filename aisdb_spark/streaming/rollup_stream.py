@@ -1,0 +1,77 @@
+"""Structured Streaming ingest → windowed rollup.
+
+The reference's live path is a fixed-buffer UDP/TCP receiver flushed to the
+DB (``receiver/src/receiver.rs``, ``aisdb/receiver.py:6-57``) with **no
+event-time semantics** — late/duplicate data is absorbed by insert-time
+dedup. The Spark-first upgrade: ``readStream`` over the landing directory,
+an event-time window aggregation with a watermark bounding state, and
+``foreachBatch``/``availableNow`` for exactly-once-style batch draining
+(the micro-batch analog of the 128/256-message flush buffers,
+``src/lib.rs:563-568``).
+
+The streaming aggregation uses the same integer-exact measure set as the
+batch tiers minus first/last (order-dependent measures need the batch path's
+stable ordering; a streaming engine would carry them via
+``applyInPandasWithState``), so a drained stream matches the batch rollup
+on the shared columns — tested in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_rollup_1min(
+    spark: SparkSession, landing_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """readStream(parquet landing dir) → per-user 1-minute windowed rollup
+    with watermark-bounded state. Integer-exact measures (value→cents)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(landing_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        src.withColumn("cents", F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "user_id",
+            "n_events",
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+        )
+    )
+
+
+def drain_to_memory(agg: DataFrame, name: str = "stream_out") -> None:
+    """Drive the streaming query to completion over the available files
+    (availableNow) into a memory sink — the test/drain harness."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

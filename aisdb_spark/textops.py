@@ -1,0 +1,296 @@
+"""Training-data pipeline operators over the ``documents`` table: text
+analysis, exact + near deduplication (MinHash-LSH, SimHash, n-gram
+Jaccard) — all pure DataFrame/SQL list expressions, no UDFs, no explode.
+
+Cross-engine determinism: every hash is derived from ``md5`` (present in
+both Spark and DuckDB) — ``H(s)`` = first 12 hex chars of md5 as a 48-bit
+integer — and every permutation constant is a shared Python literal, so the
+DuckDB oracle computes bit-identical signatures. Expressions are emitted
+per dialect from one template table (the same discipline as the reference's
+SQL template files, ``aisdb/aisdb_sql/*.sql``).
+
+Scale notes:
+- MinHash signatures are per-row list expressions (no shuffle); the LSH
+  band join shuffles on the band key — bucket sizes are the skew axis and
+  AQE skew-join covers it.
+- Exact dedup is one hash aggregation.
+- n-gram Jaccard uses block-local self-joins (here blocked on ``source``);
+  at 100 TB blocking would come from the LSH buckets instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 8 minhash permutations over P = 2^31-1 (products stay < 2^62: int64-safe).
+MINHASH_P = 2_147_483_647
+MINHASH_COEFFS = [
+    (1_203_077, 456_789_123),
+    (2_654_435, 987_654_321),
+    (7_368_787, 192_837_465),
+    (9_999_991, 564_738_291),
+    (15_485_863, 1_122_334_455),
+    (32_452_843, 1_029_384_756),
+    (49_979_687, 1_987_654_321),
+    (67_867_967, 1_234_567_891),
+]
+LSH_BANDS = 4  # 4 bands × 2 rows
+LSH_ROWS = 2
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+_S = {  # Spark SQL dialect fragments
+    "tokens": r"split({t}, '\\s+')",
+    "H": "CAST(conv(substring(md5({s}), 1, 12), 16, 10) AS BIGINT)",
+    "lmin": "array_min({l})",
+    "lmap": "transform({l}, {lam})",
+    "lsum": "aggregate({l}, 0L, (acc, x) -> acc + x)",
+    "nth": "{l}[{i}]",  # 0-based
+    "shingles": (
+        "CASE WHEN size({t}) >= 3 THEN transform(sequence(0, size({t}) - 3), "
+        "i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2])) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    ),
+}
+_D = {  # DuckDB dialect fragments
+    "tokens": r"string_split_regex({t}, '\s+')",
+    "H": (
+        "list_reduce(list_transform(string_split_regex(substr(md5({s}), 1, 12), ''),"
+        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+        " (acc, c) -> acc * 16 + c)"
+    ),
+    "lmin": "list_min({l})",
+    "lmap": "list_transform({l}, {lam})",
+    "lsum": "list_reduce(list_transform({l}, x -> CAST(x AS BIGINT)), (acc, x) -> acc + x)",
+    "nth": "{l}[{i} + 1]",  # 1-based
+    "shingles": (
+        "CASE WHEN len({t}) >= 3 THEN list_transform(generate_series(1, len({t}) - 2), "
+        "i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2])) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    ),
+}
+
+
+def dialect(duck: bool) -> dict[str, str]:
+    return _D if duck else _S
+
+
+def minhash_sig_exprs(duck: bool, tokens_expr: str) -> list[str]:
+    """One expression per permutation: min over 3-token shingles of
+    (a·(H(s) mod P) + b) mod P. Empty-shingle docs (<3 tokens) → NULL."""
+    d = dialect(duck)
+    sh = d["shingles"].format(t=tokens_expr)
+    h = d["H"].format(s="s")
+    out = []
+    for a, b in MINHASH_COEFFS:
+        lam = f"s -> ({a} * ({h} % {MINHASH_P}) + {b}) % {MINHASH_P}"
+        out.append(d["lmin"].format(l=d["lmap"].format(l=sh, lam=lam)))
+    return out
+
+
+def simhash32_expr(duck: bool, tokens_expr: str) -> str:
+    """32-bit SimHash over whitespace tokens (token multiplicity counts)."""
+    d = dialect(duck)
+    h = d["H"].format(s="t")
+    bits = []
+    for j in range(32):
+        per_tok = d["lmap"].format(
+            l=tokens_expr,
+            lam=f"t -> CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END",
+        )
+        s = d["lsum"].format(l=per_tok)
+        bits.append(f"(CASE WHEN ({s}) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def fingerprint_expr(duck: bool, tokens_expr: str) -> str:
+    """Whitespace-normalized content fingerprint (md5 of joined tokens)."""
+    return f"md5(array_to_string({tokens_expr}, ' '))" if duck else (
+        f"md5(concat_ws(' ', {tokens_expr}))"
+    )
+
+
+def stopword_ratio_expr(duck: bool, tokens_expr: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS)
+    if duck:
+        return (
+            f"CAST(len(list_filter({tokens_expr}, x -> x IN ({lst}))) AS DOUBLE)"
+            f" / greatest(len({tokens_expr}), 1)"
+        )
+    return (
+        f"CAST(size(filter({tokens_expr}, x -> x IN ({lst}))) AS DOUBLE)"
+        f" / greatest(size({tokens_expr}), 1)"
+    )
+
+
+def _size(duck: bool, l: str) -> str:
+    return f"len({l})" if duck else f"size({l})"
+
+
+def text_analysis_select(duck: bool) -> str:
+    """Projection list for the text-analysis query (lang-id heuristic,
+    token count, quality score, fingerprint) — same aliases both dialects."""
+    d = dialect(duck)
+    toks = d["tokens"].format(t="text")
+    ratio = stopword_ratio_expr(duck, toks)
+    ntok = _size(duck, toks)
+    mean_len = (
+        f"round(CAST(length(text) - {ntok} + 1 AS DOUBLE) / greatest({ntok}, 1), 6)"
+    )
+    return f"""
+  doc_id,
+  CAST({ntok} AS BIGINT) AS n_tokens,
+  round({ratio}, 6) AS stopword_ratio,
+  {mean_len} AS mean_token_len,
+  CASE WHEN {ratio} >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred,
+  round(least({ratio} * 2.0, 1.0) * 0.5
+        + least(CAST({ntok} AS DOUBLE) / 200.0, 1.0) * 0.5, 6) AS quality_score,
+  {fingerprint_expr(duck, toks)} AS fingerprint"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side operators (DataFrame API, mirroring the dialect expressions)
+# ---------------------------------------------------------------------------
+
+
+def with_minhash(docs: DataFrame) -> DataFrame:
+    toks = _S["tokens"].format(t="text")
+    out = docs
+    for i, e in enumerate(minhash_sig_exprs(False, toks)):
+        out = out.withColumn(f"mh{i}", F.expr(e))
+    return out
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH: band signatures → self-join on band key → distinct
+    candidate pairs (doc1 < doc2), then exact-Jaccard verified ≥ 0.5 on
+    distinct 3-token shingle sets."""
+    mh = with_minhash(docs).filter(F.col("mh0").isNotNull())
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        bands.append(
+            mh.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(c) for c in cols]).alias("bkey"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    left = allb.alias("l")
+    right = allb.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    sh = F.expr(
+        "array_distinct(" + _S["shingles"].format(t=_S["tokens"].format(t="text")) + ")"
+    )
+    shingled = docs.select("doc_id", sh.alias("sh"))
+    j = (
+        cand.join(shingled.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sh", "sh1"), "doc1")
+        .join(shingled.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sh", "sh2"), "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2", "jaccard")
+    )
+    return j
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per exact text hash (md5) — the hash-groupBy
+    exact dedup; the PK ON CONFLICT DO NOTHING analog
+    (aisdb/aisdb_sql/insert_dynamic_clusteredidx.sql:16)."""
+    return (
+        docs.withColumn("h", F.md5("text"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "h", "n_copies")
+    )
+
+
+def with_simhash(docs: DataFrame) -> DataFrame:
+    toks = _S["tokens"].format(t="text")
+    return docs.withColumn("simhash", F.expr(simhash32_expr(False, toks)))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """SimHash near-dup: block on 8-bit bands of the 32-bit signature, then
+    verify Hamming distance via bit_count(xor)."""
+    sh = with_simhash(docs).select("doc_id", "simhash")
+    bands = None
+    for b in range(4):
+        part = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc1"),
+            F.col("r.doc_id").alias("doc2"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return cand
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard (block = source column)."""
+    sh = F.expr(
+        "array_distinct(" + _S["shingles"].format(t=_S["tokens"].format(t="text")) + ")"
+    )
+    d = docs.select("doc_id", "source", sh.alias("sh"))
+    l, r = d.alias("l"), d.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("l.sh", "r.sh"))
+                / F.size(F.array_union("l.sh", "r.sh")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l.doc_id").alias("doc1"),
+            F.col("r.doc_id").alias("doc2"),
+            "jaccard",
+        )
+    )
