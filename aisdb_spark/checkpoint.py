@@ -50,6 +50,20 @@ def input_fingerprint(df: DataFrame) -> dict:
     }
 
 
+def _fingerprint_days(fingerprint: dict) -> int:
+    """Distinct-day estimate from the input fingerprint's ts range."""
+    try:
+        lo = fingerprint["ts_min"][:10]
+        hi = fingerprint["ts_max"][:10]
+        import datetime as _dt
+
+        d0 = _dt.date.fromisoformat(lo)
+        d1 = _dt.date.fromisoformat(hi)
+        return max((d1 - d0).days + 1, 1)
+    except (KeyError, ValueError, TypeError):
+        return 1
+
+
 def _manifest_path(tier_dir: str) -> str:
     return os.path.join(tier_dir, MANIFEST)
 
@@ -63,21 +77,48 @@ def _read_manifest(tier_dir: str) -> dict | None:
 
 
 def write_tier(
-    df: DataFrame, tier_dir: str, fingerprint: dict, partition_by_day: bool = True
+    df: DataFrame,
+    tier_dir: str,
+    fingerprint: dict,
+    partition_by_day: bool = True,
+    files_per_date: int = 4,
 ) -> dict:
     """Materialize one tier: day-partitioned zstd parquet + manifest.
 
     Day partitioning mirrors the reference's monthly-table / 7-day-chunk
     range layout (``aisdb/database/sqlfcn_callbacks.py:17-20``) — time-range
     queries on the tier prune whole directories.
+
+    Output is re-clustered on (bucket_date, hash(conv_id) % files_per_date)
+    before the partitioned write: without this, every shuffle partition
+    writes a sliver into every date directory — file count (and write+read
+    cost) grows ∝ parallelism × dates, which inverted the N→4N scaling run
+    (24.8 s vs 14.5 s at sf0.1×20). With it, file count is dates ×
+    files_per_date regardless of parallelism — the Iceberg
+    ``bucket(conv_id)`` layout expressed in plain parquet.
     """
     t0 = time.monotonic()
-    writer = df.withColumn(
-        "bucket_date", F.to_date("bucket_start")
-    ) if partition_by_day else df
-    w = writer.write.mode("overwrite")
     if partition_by_day:
-        w = w.partitionBy("bucket_date")
+        # Pin the partition count: an un-numbered repartition lets AQE
+        # coalesce the write to a few ~64MB tasks, serializing the write
+        # stage identically at every parallelism level (measured: 25s at
+        # both local[8] and local[32]). Size files_per_date to the cluster
+        # so write parallelism ≈ cores while files stay bounded per date.
+        spark = df.sparkSession
+        cores = spark.sparkContext.defaultParallelism
+        n_dates = _fingerprint_days(fingerprint)
+        k = max(files_per_date, -(-2 * cores // max(n_dates, 1)))
+        writer = (
+            df.withColumn("bucket_date", F.to_date("bucket_start"))
+            .repartition(
+                max(n_dates, 1) * k,
+                F.col("bucket_date"),
+                F.pmod(F.hash("conv_id"), F.lit(k)),
+            )
+        )
+        w = writer.write.mode("overwrite").partitionBy("bucket_date")
+    else:
+        w = df.write.mode("overwrite")
     w.parquet(tier_dir)
     elapsed = time.monotonic() - t0
     spark = df.sparkSession

@@ -60,37 +60,58 @@ def interp_time(df: DataFrame, step_seconds: int = 600) -> DataFrame:
 
     Input must carry ``segment_id`` (run gap_split first) and ``value``.
     Segments with ≤1 row are dropped (aisdb/interp.py:98-100).
+
+    Grouped by conv_id only (entities), with a numpy loop over segments
+    inside — gap segmentation produces many tiny segments, and one pandas
+    group per *segment* pays ~ms of per-group overhead each (measured 440 s
+    at sf0.1 vs ~8 s this way). Same trade AISdb makes: one track dict per
+    vessel, segments as index ranges (aisdb/track_gen.py:167-204).
     """
     step_us = int(step_seconds) * 1_000_000
+    empty = pd.DataFrame(
+        {
+            "conv_id": pd.Series(dtype="object"),
+            "segment_id": pd.Series(dtype="int32"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "value": pd.Series(dtype="float64"),
+        }
+    )
 
-    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) <= 1:
-            return pd.DataFrame(
-                columns=["conv_id", "segment_id", "ts", "value"]
-            ).astype({"segment_id": "int32", "value": "float64"})
-        # dedup by timestamp keeping the last turn — the spline/interp
-        # dedup-by-time precedent (aisdb/interp.py:275-289)
-        pdf = pdf.sort_values("turn_idx").drop_duplicates(subset="ts", keep="last")
-        if len(pdf) <= 1:
-            return pd.DataFrame(
-                columns=["conv_id", "segment_id", "ts", "value"]
-            ).astype({"segment_id": "int32", "value": "float64"})
-        t = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        v = pdf["value"].to_numpy(dtype=np.float64)
-        grid, out = _grid_interp(t, v, step_us)
+    def _one_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by (ts, turn_idx) then dedup exact-duplicate timestamps
+        # keeping the last turn — the spline/interp dedup-by-time precedent
+        # (aisdb/interp.py:275-289); sort precedent aisdb/interp.py:334-338
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
+        seg_all = pdf["segment_id"].to_numpy(dtype=np.int32)
+        t_all = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v_all = pdf["value"].to_numpy(dtype=np.float64)
+        grids, vals, segs = [], [], []
+        for s in np.unique(seg_all):
+            m = seg_all == s
+            t, v = t_all[m], v_all[m]
+            keep = np.append(t[1:] != t[:-1], True)  # last per duplicate ts
+            t, v = t[keep], v[keep]
+            if len(t) <= 1:
+                continue
+            grid, out = _grid_interp(t, v, step_us)
+            grids.append(grid)
+            vals.append(out)
+            segs.append(np.full(len(grid), s, dtype=np.int32))
+        if not grids:
+            return empty
         return pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"].iloc[0],
-                "segment_id": np.int32(pdf["segment_id"].iloc[0]),
-                "ts": pd.to_datetime(grid, unit="us"),
-                "value": out,
+                "segment_id": np.concatenate(segs),
+                "ts": pd.to_datetime(np.concatenate(grids), unit="us"),
+                "value": np.concatenate(vals),
             }
         )
 
     return (
         df.select("conv_id", "segment_id", "turn_idx", "ts", "value")
-        .groupBy("conv_id", "segment_id")
-        .applyInPandas(_one, _INTERP_SCHEMA)
+        .groupBy("conv_id")
+        .applyInPandas(_one_conv, _INTERP_SCHEMA)
     )
 
 
@@ -107,17 +128,10 @@ def ewma(df: DataFrame, alpha: float = 0.3) -> DataFrame:
 
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
-        x = pdf["value"].to_numpy(dtype=np.float64)
-        num = np.empty_like(x)
-        den = np.empty_like(x)
-        n_acc = 0.0
-        d_acc = 0.0
-        for i in range(len(x)):  # short per-group loop over numpy scalars
-            n_acc = x[i] + w * n_acc
-            d_acc = 1.0 + w * d_acc
-            num[i] = n_acc
-            den[i] = d_acc
-        pdf["ewma_value"] = num / den
+        # pandas' C kernel implements exactly the adjust=True recursion
+        pdf["ewma_value"] = (
+            pdf["value"].astype("float64").ewm(alpha=1.0 - w, adjust=True).mean()
+        )
         return pdf[["conv_id", "turn_idx", "ts", "value", "ewma_value"]]
 
     return (

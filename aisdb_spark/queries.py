@@ -761,7 +761,7 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    sigs = textops.minhash_sig_exprs(True, "t")
+    sigs = textops.minhash_from_hashes(True, "hs")
     sig_cols = ",\n    ".join(f"{e} AS mh{i}" for i, e in enumerate(sigs))
     band_selects = []
     for b in range(textops.LSH_BANDS):
@@ -774,13 +774,15 @@ def _minhash_oracle() -> str:
         )
     bands_sql = "\nUNION ALL\n".join(band_selects)
     sh = textops.dialect(True)["shingles"].format(t="t")
+    hs = textops.shingle_hash_expr(True, "t")
     return f"""WITH toks AS (
   SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
 ),
+hashed AS (SELECT doc_id, t, {hs} AS hs FROM toks),
 mh AS (
   SELECT doc_id,
     {sig_cols}
-  FROM toks
+  FROM hashed
 ),
 bands AS (
 {bands_sql}
@@ -813,12 +815,14 @@ ORACLES["minhash_lsh_pairs"] = _minhash_oracle()
 
 def _simhash_oracle() -> str:
     toks = textops.dialect(True)["tokens"].format(t="text")
-    sim = textops.simhash32_expr(True, toks)
+    hv = textops.token_hash_expr(True, toks)
+    sim = textops.simhash_from_hashes(True, "hv")
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bkey FROM sh"
         for b in range(4)
     )
-    return f"""WITH sh AS (SELECT doc_id, {sim} AS simhash FROM documents),
+    return f"""WITH hv_t AS (SELECT doc_id, {hv} AS hv FROM documents),
+sh AS (SELECT doc_id, {sim} AS simhash FROM hv_t),
 bands AS (
 {bands}
 ),

@@ -32,17 +32,20 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Create (or fetch) the tuned SparkSession.
 
-    ``cpus`` controls local parallelism (the N in ``local[N]``) — the
-    scaling benchmark calls this with 8 and 32 to evidence the N→4N
-    scaling-efficiency criterion.
+    ``cpus`` controls local parallelism (the N in ``local[N]``). ``master``
+    overrides the URL entirely — the scaling benchmark passes
+    ``local-cluster[n,8,mem]`` to get genuinely separate executor JVMs
+    (own heap, shuffle manager, python workers), the closest local stand-in
+    for N vs 4N executors.
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -59,6 +62,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Shuffle/spill scratch on tmpfs: the sandbox's /tmp is a virtual
+        # disk and 32 concurrent task writers thrash it (measured: local[32]
+        # intermittently slower than local[8]). On a real cluster this is
+        # the usual local-SSD scratch volume.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

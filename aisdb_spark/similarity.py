@@ -127,10 +127,17 @@ def cosine_near_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on label (at scale the
-    block key would be the LSH bucket)."""
-    emb = load_embeddings(spark, sf_dir).select("vec_id", "label", "embedding")
+    block key would be the LSH bucket). Norms are precomputed per vector —
+    the pairwise stage folds only the cross dot product (3x less work; the
+    oracle mirrors the same norm-then-divide formula)."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(f"sqrt({_dot_expr('embedding', 'embedding', False)})").alias("nrm"),
+    )
     l, r = emb.alias("l"), emb.alias("r")
-    cos = F.expr(cosine_expr("l.embedding", "r.embedding", duck=False))
+    dot = F.expr(_dot_expr("l.embedding", "r.embedding", duck=False))
     return (
         l.join(
             r,
@@ -140,15 +147,20 @@ def cosine_near_pairs(
         .select(
             F.col("l.vec_id").alias("vec1"),
             F.col("r.vec_id").alias("vec2"),
-            cos.alias("cos"),
+            (dot / (F.col("l.nrm") * F.col("r.nrm"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
 
 
 def cosine_near_pairs_oracle(threshold: float = 0.95) -> str:
-    cos = cosine_expr("l.embedding", "r.embedding", duck=True)
-    return f"""SELECT l.vec_id AS vec1, r.vec_id AS vec2, {cos} AS cos
-FROM embeddings l JOIN embeddings r
+    dot = _dot_expr("l.embedding", "r.embedding", duck=True)
+    nrm = _dot_expr("embedding", "embedding", duck=True)
+    return f"""WITH e AS (
+  SELECT vec_id, label, embedding, sqrt({nrm}) AS nrm FROM embeddings
+)
+SELECT l.vec_id AS vec1, r.vec_id AS vec2,
+  ({dot}) / (l.nrm * r.nrm) AS cos
+FROM e l JOIN e r
   ON l.label = r.label AND l.vec_id < r.vec_id
-WHERE ({cos}) >= {threshold}"""
+WHERE ({dot}) / (l.nrm * r.nrm) >= {threshold}"""

@@ -76,32 +76,58 @@ def dialect(duck: bool) -> dict[str, str]:
     return _D if duck else _S
 
 
-def minhash_sig_exprs(duck: bool, tokens_expr: str) -> list[str]:
-    """One expression per permutation: min over 3-token shingles of
-    (a·(H(s) mod P) + b) mod P. Empty-shingle docs (<3 tokens) → NULL."""
+def shingle_hash_expr(duck: bool, tokens_expr: str) -> str:
+    """List of H(shingle) mod P — computed ONCE, then reused by every
+    permutation (md5 is the expensive kernel; 8x hoisting measured 200s→25s
+    at sf0.1)."""
     d = dialect(duck)
     sh = d["shingles"].format(t=tokens_expr)
     h = d["H"].format(s="s")
+    return d["lmap"].format(l=sh, lam=f"s -> ({h}) % {MINHASH_P}")
+
+
+def minhash_from_hashes(duck: bool, hashes_expr: str) -> list[str]:
+    """One expression per permutation over precomputed shingle hashes:
+    min of (a·h + b) mod P. Empty-shingle docs (<3 tokens) → NULL."""
+    d = dialect(duck)
     out = []
     for a, b in MINHASH_COEFFS:
-        lam = f"s -> ({a} * ({h} % {MINHASH_P}) + {b}) % {MINHASH_P}"
-        out.append(d["lmin"].format(l=d["lmap"].format(l=sh, lam=lam)))
+        lam = f"h -> ({a} * h + {b}) % {MINHASH_P}"
+        out.append(d["lmin"].format(l=d["lmap"].format(l=hashes_expr, lam=lam)))
     return out
 
 
-def simhash32_expr(duck: bool, tokens_expr: str) -> str:
-    """32-bit SimHash over whitespace tokens (token multiplicity counts)."""
+def minhash_sig_exprs(duck: bool, tokens_expr: str) -> list[str]:
+    """Back-compat single-expression form (hash hoisting inlined per perm
+    when used via with_minhash/oracles, which pass a hash column)."""
+    return minhash_from_hashes(duck, shingle_hash_expr(duck, tokens_expr))
+
+
+def token_hash_expr(duck: bool, tokens_expr: str) -> str:
+    """List of H(token) — hoisted so the md5 kernel runs once per token,
+    not once per (token, bit)."""
     d = dialect(duck)
     h = d["H"].format(s="t")
+    return d["lmap"].format(l=tokens_expr, lam=f"t -> {h}")
+
+
+def simhash_from_hashes(duck: bool, hashes_expr: str) -> str:
+    """32-bit SimHash from precomputed token hashes (multiplicity counts)."""
+    d = dialect(duck)
     bits = []
     for j in range(32):
         per_tok = d["lmap"].format(
-            l=tokens_expr,
-            lam=f"t -> CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END",
+            l=hashes_expr,
+            lam=f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END",
         )
         s = d["lsum"].format(l=per_tok)
         bits.append(f"(CASE WHEN ({s}) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+def simhash32_expr(duck: bool, tokens_expr: str) -> str:
+    """Back-compat single-expression form."""
+    return simhash_from_hashes(duck, token_hash_expr(duck, tokens_expr))
 
 
 def fingerprint_expr(duck: bool, tokens_expr: str) -> str:
@@ -154,12 +180,54 @@ def text_analysis_select(duck: bool) -> str:
 # ---------------------------------------------------------------------------
 
 
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows via posexplode + window lead — the tokenizer
+    runs exactly once per document (lambda bodies get no common-subexpr
+    elimination: inlining the split into per-element accesses re-tokenizes
+    the full text per shingle — measured 8.5 s vs <1 s at sf0.1)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(_S["tokens"].format(t="text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn(
+            "shingle",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)),
+        )
+        .withColumn("_t2", F.lead("tok", 2).over(w))
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "shingle")
+    )
+
+
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    h = _S["H"].format(s="shingle")
+    return shingle_rows(docs).select(
+        "doc_id", F.expr(f"({h}) % {MINHASH_P}").alias("h")
+    )
+
+
 def with_minhash(docs: DataFrame) -> DataFrame:
-    toks = _S["tokens"].format(t="text")
-    out = docs
-    for i, e in enumerate(minhash_sig_exprs(False, toks)):
-        out = out.withColumn(f"mh{i}", F.expr(e))
-    return out
+    """Shingle rows → hash once each → 8 min-aggregations (map-side
+    combined; one shuffle on doc_id). Long documents distribute across
+    tasks — the scalable MinHash shape."""
+    sigs = _hashed_shingles(docs).groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a} * h + {b}) % {MINHASH_P}")).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+    return docs.join(sigs, "doc_id", "left")
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: distinct shingle set) — collect_set post-explode (the
+    set is order-insensitive; downstream uses only intersect/union sizes)."""
+    return shingle_rows(docs).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh")
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
@@ -180,8 +248,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     allb = bands[0]
     for x in bands[1:]:
         allb = allb.unionByName(x)
-    left = allb.alias("l")
-    right = allb.alias("r")
+    left, right = allb.alias("l"), allb.alias("r")
     cand = (
         left.join(
             right,
@@ -189,18 +256,19 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             & (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2")
-        )
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
         .distinct()
     )
-    sh = F.expr(
-        "array_distinct(" + _S["shingles"].format(t=_S["tokens"].format(t="text")) + ")"
-    )
-    shingled = docs.select("doc_id", sh.alias("sh"))
-    j = (
-        cand.join(shingled.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sh", "sh1"), "doc1")
-        .join(shingled.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sh", "sh2"), "doc2")
+    shingled = shingle_sets(docs)
+    return (
+        cand.join(
+            shingled.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sh", "sh1"),
+            "doc1",
+        )
+        .join(
+            shingled.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sh", "sh2"),
+            "doc2",
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -212,7 +280,6 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc1", "doc2", "jaccard")
     )
-    return j
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -229,7 +296,11 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def with_simhash(docs: DataFrame) -> DataFrame:
     toks = _S["tokens"].format(t="text")
-    return docs.withColumn("simhash", F.expr(simhash32_expr(False, toks)))
+    return (
+        docs.withColumn("_hv", F.expr(token_hash_expr(False, toks)))
+        .withColumn("simhash", F.expr(simhash_from_hashes(False, "_hv")))
+        .drop("_hv")
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
@@ -268,10 +339,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Blocked pairwise n-gram Jaccard (block = source column)."""
-    sh = F.expr(
-        "array_distinct(" + _S["shingles"].format(t=_S["tokens"].format(t="text")) + ")"
-    )
-    d = docs.select("doc_id", "source", sh.alias("sh"))
+    d = docs.select("doc_id", "source").join(shingle_sets(docs), "doc_id", "inner")
     l, r = d.alias("l"), d.alias("r")
     return (
         l.join(

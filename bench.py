@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship metric is the north rule's: rollup throughput (turns/sec
+through the full raw→1min→1h→1d materialized cascade) plus sec/tier.
+Each headline query is executed to completion with a noop sink (full
+pipeline cost, no driver collect skew).
+
+Scaling-efficiency evidence (N vs 4N) is produced by bench_scaling.py,
+which runs this file at local[8] and local[32] on identical input and
+writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "rollup_1min",
+    "gap_segments",
+    "dedup_turns",
+    "turn_deltas",
+    "transition_edges",
+    "conv_meta",
+    "interp_time_10min",
+    "ewma_03",
+    "gorilla_roundtrip",
+    "asof_last_tool",
+    "downsample_every_5",
+    "time_in_range",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "text_analysis",
+    "exact_dedup",
+    "ann_brute_force_top10",
+    "cosine_near_pairs",
+    "pricing_summary",
+    "orders_by_nation",
+]
+
+
+def main() -> None:
+    from aisdb_spark import checkpoint
+    from aisdb_spark.queries import QUERIES
+    from aisdb_spark.session import get_spark
+    from aisdb_spark.sources.transcripts import load_transcripts, with_value
+
+    spark = get_spark("bench", cpus=CPUS)
+    tv = with_value(load_transcripts(spark, SF_DIR))
+    n_turns = tv.count()  # also warms the events scan
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: materialized retention cascade (sec/tier) ---
+    tier_dir = tempfile.mkdtemp(prefix="bench_tiers_")
+    try:
+        t0 = time.monotonic()
+        tiers = checkpoint.materialize_cascade(spark, tv, tier_dir, force=True)
+        cascade_sec = time.monotonic() - t0
+        for name, m in tiers.items():
+            timings[f"tier_{name}"] = m["seconds"]
+    finally:
+        shutil.rmtree(tier_dir, ignore_errors=True)
+
+    # --- headline operator queries (noop sink = full execution) ---
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "rollup turns/sec through raw->1min->1h->1d cascade + headline operator latencies",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_turns": n_turns,
+        "cascade_sec": round(cascade_sec, 3),
+        "turns_per_sec": round(n_turns / cascade_sec, 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
