@@ -160,3 +160,85 @@ def interp_spacing(df: DataFrame, spacing: int = 100) -> DataFrame:
         > F.floor(F.col("_prev_cum") / F.lit(spacing))
     )
     return d.filter(keep).drop("_cum", "_prev_cum")
+
+
+def _natural_cubic_coeffs(x: np.ndarray, y: np.ndarray):
+    """Natural cubic spline coefficients via the standard tridiagonal solve
+    (public algorithm; replaces scipy.CubicSpline used by the reference,
+    aisdb/interp.py:273-356 — scipy is not in this image)."""
+    n = len(x) - 1
+    h = np.diff(x)
+    alpha = np.zeros(n + 1)
+    alpha[1:n] = 3.0 * (y[2:] - y[1:-1]) / h[1:] - 3.0 * (y[1:-1] - y[:-2]) / h[:-1]
+    l = np.ones(n + 1)
+    mu = np.zeros(n + 1)
+    z = np.zeros(n + 1)
+    for i in range(1, n):
+        l[i] = 2.0 * (x[i + 1] - x[i - 1]) - h[i - 1] * mu[i - 1]
+        mu[i] = h[i] / l[i]
+        z[i] = (alpha[i] - h[i - 1] * z[i - 1]) / l[i]
+    c = np.zeros(n + 1)
+    b = np.zeros(n)
+    d = np.zeros(n)
+    for j in range(n - 1, -1, -1):
+        c[j] = z[j] - mu[j] * c[j + 1]
+        b[j] = (y[j + 1] - y[j]) / h[j] - h[j] * (c[j + 1] + 2.0 * c[j]) / 3.0
+        d[j] = (c[j + 1] - c[j]) / (3.0 * h[j])
+    return b, c[:-1], d
+
+
+def interp_cubic_spline(df: DataFrame, step_seconds: int = 600) -> DataFrame:
+    """Natural-cubic-spline resample per (conv, segment) onto the regular
+    grid (semantics of aisdb/interp.py:273-356: sort by time, dedup
+    duplicate timestamps, skip short segments — here < 3 points)."""
+    step_us = int(step_seconds) * 1_000_000
+    empty = pd.DataFrame(
+        {
+            "conv_id": pd.Series(dtype="object"),
+            "segment_id": pd.Series(dtype="int32"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "value": pd.Series(dtype="float64"),
+        }
+    )
+
+    def _one_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
+        seg_all = pdf["segment_id"].to_numpy(dtype=np.int32)
+        t_all = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v_all = pdf["value"].to_numpy(dtype=np.float64)
+        grids, vals, segs = [], [], []
+        for s in np.unique(seg_all):
+            m = seg_all == s
+            t, v = t_all[m], v_all[m]
+            keep = np.append(t[1:] != t[:-1], True)
+            t, v = t[keep], v[keep]
+            if len(t) < 3:
+                continue
+            x = (t - t[0]).astype(np.float64)
+            b, c, d = _natural_cubic_coeffs(x, v)
+            grid = np.arange(t[0], t[-1] + step_us, step_us, dtype=np.int64)
+            gx = (grid - t[0]).astype(np.float64)
+            j = np.clip(np.searchsorted(x, gx, side="right") - 1, 0, len(x) - 2)
+            dx = gx - x[j]
+            out = v[j] + b[j] * dx + c[j] * dx**2 + d[j] * dx**3
+            # clamp overhang beyond the last sample (grid inclusive-end)
+            out = np.where(gx > x[-1], v[-1], out)
+            grids.append(grid)
+            vals.append(out)
+            segs.append(np.full(len(grid), s, dtype=np.int32))
+        if not grids:
+            return empty
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "segment_id": np.concatenate(segs),
+                "ts": pd.to_datetime(np.concatenate(grids), unit="us"),
+                "value": np.concatenate(vals),
+            }
+        )
+
+    return (
+        df.select("conv_id", "segment_id", "turn_idx", "ts", "value")
+        .groupBy("conv_id")
+        .applyInPandas(_one_conv, _INTERP_SCHEMA)
+    )

@@ -109,3 +109,17 @@ def segment_bounds(df_with_segments: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_turns"),
         )
     )
+
+
+def discontinuity_split(df: DataFrame, max_idx_jump: int = 1) -> DataFrame:
+    """Split where turn_idx jumps by more than ``max_idx_jump`` — the
+    ordinal-discontinuity analog of AISdb's anti-meridian longitude split
+    (``aisdb/track_gen.py:38-64``: break where |Δlon| > 300°). Useful after
+    upstream filtering has removed turns."""
+    w = _conv_window()
+    jump = F.col("turn_idx") - F.lag("turn_idx").over(w)
+    flag = F.when(jump > max_idx_jump, F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(
+        "segment_id",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )

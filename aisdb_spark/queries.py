@@ -908,3 +908,65 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (blocked on label)."""
     return similarity.cosine_near_pairs(spark, sf_dir, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Milestone 7: denoising encoder, discontinuity split, cubic spline,
+# canonical pipeline.
+# ---------------------------------------------------------------------------
+
+from aisdb_spark.operators import encoder  # noqa: E402
+
+
+@query("encode_pathways")  # greedy stateful per-entity machine → rows-only
+def encode_pathways_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising encoder: score-based greedy segment→pathway attachment
+    (aisdb/denoising_encoder.py:99-228, src/lib.rs:475-497)."""
+    return encoder.encode_pathways(
+        _tv(spark, sf_dir), max_jump=4.0, max_rate=0.001, minscore=1e-6
+    )
+
+
+@query(
+    "discontinuity_split",
+    f"""{_PRELUDE},
+filtered AS (SELECT conv_id, turn_idx, ts FROM tv WHERE value >= 15),
+flagged AS (
+  SELECT conv_id, turn_idx, ts,
+    CASE WHEN turn_idx - lag(turn_idx)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) > 1
+    THEN 1 ELSE 0 END AS flag
+  FROM filtered
+)
+SELECT conv_id, turn_idx, ts,
+  CAST(sum(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx
+    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS segment_id
+FROM flagged""",
+)
+def discontinuity_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-discontinuity split after filtering (anti-meridian analog,
+    aisdb/track_gen.py:38-64)."""
+    from aisdb_spark.operators import segmentation as seg
+
+    filtered = _tv(spark, sf_dir).filter(F.col("value") >= 15).select(
+        "conv_id", "turn_idx", "ts"
+    )
+    return seg.discontinuity_split(filtered, max_idx_jump=1)
+
+
+@query("interp_cubic_spline")  # tridiagonal solve per segment → rows-only
+def interp_cubic_spline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-cubic-spline resample (aisdb/interp.py:273-356 semantics,
+    numpy tridiagonal solve in place of scipy)."""
+    segd = seg_mod.gap_split(_tv(spark, sf_dir), gap_seconds=3600)
+    return interp.interp_cubic_spline(segd, step_seconds=600)
+
+
+@query("pipeline_canonical")  # multi-stage composition → rows-only
+def pipeline_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship chain (aisdb/network_graph.py:504-519 graft): enrich →
+    derived scalar → gap split → pathways; returns the pathway frame."""
+    from aisdb_spark.plans import pipeline
+
+    stages = pipeline.canonical_pipeline(spark, _tv(spark, sf_dir))
+    return stages["pathways"]

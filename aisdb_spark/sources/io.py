@@ -1,0 +1,98 @@
+"""File sources/sinks + ingest ledger.
+
+Re-expresses the reference's ingest periphery:
+
+- CSV decoders with fixed schemas (``aisdb_lib/src/csvreader.rs:110-628``)
+  → ``spark.read.csv(schema=...)`` (never inferSchema in the hot path).
+- gzip transparency (``aisdb/database/decoder.py:119-153``) → Spark reads
+  ``.csv.gz``/``.json.gz`` natively; no unpack stage needed.
+- Track CSV sink with fixed column order + rounding rules
+  (``aisdb/proc_util.py:195-333`` ``tracks_csv``/``write_csv``) →
+  deterministic ordered CSV export.
+- File-checksum ingest dedup (``aisdb/database/decoder.py:21-116``:
+  md5 of the first 1000 bytes ↦ ``hashmap`` table, skip seen files) →
+  JSON ledger keyed the same way; the batch-idempotence companion to the
+  tier manifests in ``checkpoint.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aisdb_spark.schema import TRANSCRIPTS_SCHEMA
+
+# fixed export order + rounding, the tracks_csv discipline
+CSV_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-locked CSV (plain or .gz) → transcripts DataFrame."""
+    return (
+        spark.read.schema(TRANSCRIPTS_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def write_transcripts_csv(df: DataFrame, path: str, compress: bool = False) -> None:
+    """Deterministic CSV export: fixed column order, sorted rows
+    (the sanitized-CSV sink of aisdb/proc_util.py:166-181)."""
+    w = (
+        df.select(*CSV_COLUMNS)
+        .orderBy("conv_id", "turn_idx")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
+    if compress:
+        w = w.option("compression", "gzip")
+    w.csv(path)
+
+
+def file_checksum(path: str, head_bytes: int = 1000) -> str:
+    """md5 of the first ``head_bytes`` — AISdb's exact ingest-dedup key
+    (aisdb/database/decoder.py:56-63)."""
+    with open(path, "rb") as f:
+        return hashlib.md5(f.read(head_bytes)).hexdigest()
+
+
+class IngestLedger:
+    """Skip-already-ingested-files ledger (the ``hashmap`` table analog)."""
+
+    def __init__(self, ledger_path: str):
+        self.path = ledger_path
+        try:
+            with open(ledger_path) as f:
+                self.seen: dict[str, str] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            self.seen = {}
+
+    def filter_new(self, paths: list[str]) -> list[str]:
+        return [p for p in paths if self.seen.get(file_checksum(p)) is None]
+
+    def record(self, paths: list[str]) -> None:
+        for p in paths:
+            self.seen[file_checksum(p)] = os.path.basename(p)
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump(self.seen, f, indent=1)
+
+
+def ingest_files(
+    spark: SparkSession, paths: list[str], ledger: IngestLedger
+) -> DataFrame | None:
+    """Checksum-gated CSV ingest: reads only unseen files, records them.
+    Returns None when everything was already ingested (idempotent re-run)."""
+    new = ledger.filter_new(paths)
+    if not new:
+        return None
+    df = read_transcripts_csv(spark, new)
+    ledger.record(new)
+    return df

@@ -1,0 +1,101 @@
+"""Denoising encoder goldens, spline invariants, IO round-trips, ledger."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from aisdb_spark.operators import encoder, interp, segmentation
+from aisdb_spark.sources import io as aio
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, value long",
+    )
+
+
+def test_encoder_separates_interleaved_tracks(spark):
+    """Two interleaved value bands (the two-transmitters-one-id case the
+    reference's encoder exists for) must land in two pathways."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        band = i % 2  # alternate low/high
+        v = 10 + band * 1000 + (i // 2)  # slow drift within each band
+        rows.append(("c", i, "user", "t", None, base + dt.timedelta(seconds=60 * i), v))
+    df = _mk(spark, rows)
+    out = encoder.encode_pathways(df, max_jump=50, max_rate=5.0, minscore=1e-6)
+    got = {(r.turn_idx, r.pathway_id) for r in out.collect()}
+    low = {p for i, p in got if i % 2 == 0}
+    high = {p for i, p in got if i % 2 == 1}
+    assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_encoder_single_smooth_track_one_pathway(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c", i, "user", "t", None, base + dt.timedelta(seconds=60 * i), 100 + i)
+        for i in range(30)
+    ]
+    out = encoder.encode_pathways(_mk(spark, rows), max_jump=50, max_rate=5.0)
+    assert out.select("pathway_id").distinct().count() == 1
+
+
+def test_cubic_spline_interpolates_through_samples(spark):
+    base = dt.datetime(2024, 1, 1)
+    # quadratic-ish series; spline must pass exactly through the samples
+    rows = [
+        ("c", i, "user", "t", None, base + dt.timedelta(seconds=600 * i), i * i)
+        for i in range(6)
+    ]
+    segd = segmentation.gap_split(_mk(spark, rows), gap_seconds=7200)
+    out = {r.ts: r.value for r in interp.interp_cubic_spline(segd, 600).collect()}
+    for i in range(6):
+        t = base + dt.timedelta(seconds=600 * i)
+        assert abs(out[t] - i * i) < 1e-9
+    # spline skips segments with < 3 points
+    short = rows[:2]
+    segd2 = segmentation.gap_split(_mk(spark, short), gap_seconds=7200)
+    assert interp.interp_cubic_spline(segd2, 600).count() == 0
+
+
+def test_csv_roundtrip_and_gz(spark, tmp_path):
+    from aisdb_spark.sources.transcripts import load_transcripts
+    from tests.conftest import SF_SMALL
+
+    t = load_transcripts(spark, SF_SMALL).limit(500)
+    p1 = str(tmp_path / "plain_csv")
+    aio.write_transcripts_csv(t, p1)
+    back = aio.read_transcripts_csv(spark, p1)
+    assert back.count() == 500
+    assert back.exceptAll(t.select(*aio.CSV_COLUMNS)).count() == 0
+
+    p2 = str(tmp_path / "gz_csv")
+    aio.write_transcripts_csv(t, p2, compress=True)
+    import glob
+
+    assert glob.glob(f"{p2}/*.csv.gz")  # gzip on disk, read transparently
+    assert aio.read_transcripts_csv(spark, p2).count() == 500
+
+
+def test_ingest_ledger_skips_seen_files(spark, tmp_path):
+    from aisdb_spark.sources.transcripts import load_transcripts
+    from tests.conftest import SF_SMALL
+
+    t = load_transcripts(spark, SF_SMALL).limit(100)
+    src = str(tmp_path / "src_csv")
+    aio.write_transcripts_csv(t, src)
+    import glob
+
+    files = sorted(glob.glob(f"{src}/*.csv"))
+    ledger = aio.IngestLedger(str(tmp_path / "ledger.json"))
+    first = aio.ingest_files(spark, files, ledger)
+    assert first is not None and first.count() == 100
+    # idempotent re-run: everything seen → None (decoder.py:199-259 analog)
+    ledger2 = aio.IngestLedger(str(tmp_path / "ledger.json"))
+    assert aio.ingest_files(spark, files, ledger2) is None
