@@ -970,3 +970,80 @@ def pipeline_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stages = pipeline.canonical_pipeline(spark, _tv(spark, sf_dir))
     return stages["pathways"]
+
+
+# ---------------------------------------------------------------------------
+# Milestone 8: events-native sessionization + scalar function surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_sessions",
+    """WITH flagged AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+    THEN 1 ELSE 0 END AS flag
+  FROM events
+),
+sess AS (
+  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+  min(ts) AS session_start, max(ts) AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM sess GROUP BY 1, 2""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization straight on the events stream table —
+    the batch twin of the streaming session_window idiom."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flag = F.when(gap > 1_800_000_000, F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn("cents", F.expr("CAST(round(value * 100) AS BIGINT)")).withColumn(
+        "session_id",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@query(
+    "scalar_functions",
+    f"""{_PRELUDE}
+SELECT conv_id, turn_idx,
+  least(abs(value - 30) % 60, 60 - (abs(value - 30) % 60)) AS circ_diff,
+  ((value - (-180)) % 360 + 360) % 360 + (-180) AS wrapped,
+  epoch_us(ts) // 1000000 AS epoch_sec,
+  regexp_replace(text, '[,#"''\\n\\r]', ' ', 'g') AS sanitized
+FROM tv""",
+)
+def scalar_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar surface (SURVEY.md §2.7): circular diff, modular wrap, epoch
+    conversion, CSV sanitization."""
+    from aisdb_spark.functions import (
+        circular_diff,
+        epoch_s,
+        sanitize_csv_text,
+        wrap_mod,
+    )
+
+    tv = _tv(spark, sf_dir)
+    return tv.select(
+        "conv_id",
+        "turn_idx",
+        circular_diff(F.col("value"), F.lit(30), 60).alias("circ_diff"),
+        wrap_mod(F.col("value")).alias("wrapped"),
+        epoch_s(F.col("ts")).alias("epoch_sec"),
+        sanitize_csv_text(F.col("text")).alias("sanitized"),
+    )

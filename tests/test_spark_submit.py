@@ -1,0 +1,49 @@
+"""Packaging test: the cascade job runs under real spark-submit with
+--py-files (the north-rule deployment surface)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pyspark
+
+from aisdb_spark.dist import package_zip
+from tests.conftest import SF_SMALL
+
+
+def test_spark_submit_py_files(tmp_path):
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    assert os.path.exists(spark_submit)
+    zip_path = package_zip(str(tmp_path / "aisdb_spark.zip"))
+    out_dir = str(tmp_path / "tiers")
+    env = dict(os.environ, SPARK_GRAFT_LOCAL_DIR="/dev/shm/spark-local-submit")
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.sql.parquet.inferTimestampNTZ.enabled=false",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            "jobs/run_cascade.py",
+            "--input", SF_SMALL,
+            "--output", out_dir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(result["tiers"]) == {"1min", "1h", "1d"}
+    assert result["codec"]["points"] == 1000  # sf0.001 events rows
+    assert result["codec"]["ratio"] > 1.0
+    for tier in ("1min", "1h", "1d"):
+        assert os.path.exists(os.path.join(out_dir, tier, "_tier_manifest.json"))
