@@ -85,8 +85,8 @@ def lttb(df: DataFrame, n_out: int = 64) -> DataFrame:
         keep.append(m - 1)
         return pdf.iloc[sorted(set(keep))][["conv_id", "turn_idx", "ts", "value"]]
 
-    return (
-        df.select("conv_id", "turn_idx", "ts", "value")
-        .groupBy("conv_id")
-        .applyInPandas(_one, out_schema)
+    from aisdb_spark.plans.sharding import apply_per_conv
+
+    return apply_per_conv(
+        df.select("conv_id", "turn_idx", "ts", "value"), _one, out_schema
     )

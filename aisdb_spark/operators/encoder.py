@@ -92,8 +92,8 @@ def encode_pathways(
         pdf["pathway_id"] = _encode_conv(t, v, max_jump, max_rate, minscore)
         return pdf[["conv_id", "turn_idx", "ts", "value", "pathway_id"]]
 
-    return (
-        df.select("conv_id", "turn_idx", "ts", "value")
-        .groupBy("conv_id")
-        .applyInPandas(_one, _OUT_SCHEMA)
+    from aisdb_spark.plans.sharding import apply_per_conv
+
+    return apply_per_conv(
+        df.select("conv_id", "turn_idx", "ts", "value"), _one, _OUT_SCHEMA
     )

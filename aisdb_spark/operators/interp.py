@@ -108,10 +108,12 @@ def interp_time(df: DataFrame, step_seconds: int = 600) -> DataFrame:
             }
         )
 
-    return (
-        df.select("conv_id", "segment_id", "turn_idx", "ts", "value")
-        .groupBy("conv_id")
-        .applyInPandas(_one_conv, _INTERP_SCHEMA)
+    from aisdb_spark.plans.sharding import apply_per_conv
+
+    return apply_per_conv(
+        df.select("conv_id", "segment_id", "turn_idx", "ts", "value"),
+        _one_conv,
+        _INTERP_SCHEMA,
     )
 
 
@@ -134,10 +136,10 @@ def ewma(df: DataFrame, alpha: float = 0.3) -> DataFrame:
         )
         return pdf[["conv_id", "turn_idx", "ts", "value", "ewma_value"]]
 
-    return (
-        df.select("conv_id", "turn_idx", "ts", "value")
-        .groupBy("conv_id")
-        .applyInPandas(_one, schema)
+    from aisdb_spark.plans.sharding import apply_per_conv
+
+    return apply_per_conv(
+        df.select("conv_id", "turn_idx", "ts", "value"), _one, schema
     )
 
 
@@ -237,8 +239,10 @@ def interp_cubic_spline(df: DataFrame, step_seconds: int = 600) -> DataFrame:
             }
         )
 
-    return (
-        df.select("conv_id", "segment_id", "turn_idx", "ts", "value")
-        .groupBy("conv_id")
-        .applyInPandas(_one_conv, _INTERP_SCHEMA)
+    from aisdb_spark.plans.sharding import apply_per_conv
+
+    return apply_per_conv(
+        df.select("conv_id", "segment_id", "turn_idx", "ts", "value"),
+        _one_conv,
+        _INTERP_SCHEMA,
     )
