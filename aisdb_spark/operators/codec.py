@@ -256,6 +256,79 @@ _ENC_SCHEMA = (
     "conv_id string, n_points long, ts_blob binary, val_blob binary, "
     "raw_bytes long, enc_bytes long"
 )
+_ENC_CHUNKED_SCHEMA = (
+    "conv_id string, chunk_id int, n_points long, ts_blob binary, "
+    "val_blob binary, raw_bytes long, enc_bytes long"
+)
+
+
+def compress_conversations_chunked(
+    df: DataFrame, max_rows: int = 50_000, shards: int | None = None
+) -> DataFrame:
+    """Per-(conversation, chunk) blobs with chunks of ≤ max_rows turns —
+    the group-size cap for conversations that would exceed task memory
+    (SURVEY.md §7 hard-point (d); AISdb's 50k batching precedent,
+    aisdb_lib/src/decode.rs:19). Chunks are contiguous turn ranges, so
+    decoding is blob-concatenation in chunk_id order; round-trip identity
+    is tested in tests/test_codec.py."""
+    from aisdb_spark.plans.partitioning import cap_group_size
+
+    capped = cap_group_size(
+        df.select("conv_id", "turn_idx", "ts", "value"), max_rows
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "chunk_id", "turn_idx"], kind="stable")
+        rows = []
+        for (conv, chunk), g in pdf.groupby(["conv_id", "chunk_id"], sort=False):
+            t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            v = g["value"].to_numpy(dtype=np.float64)
+            tb, vb = encode_ts(t), encode_vals(v)
+            rows.append(
+                (conv, chunk, len(g), tb, vb, len(g) * 16, len(tb) + len(vb))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id", "chunk_id", "n_points", "ts_blob", "val_blob",
+                "raw_bytes", "enc_bytes",
+            ],
+        )
+
+    spark = df.sparkSession
+    n = shards or spark.sparkContext.defaultParallelism * 4
+    return (
+        capped.withColumn("_shard", F.pmod(F.hash("conv_id", "chunk_id"), F.lit(n)))
+        .groupBy("_shard")
+        .applyInPandas(lambda pdf: _shard(pdf.drop(columns=["_shard"])), _ENC_CHUNKED_SCHEMA)
+    )
+
+
+def decompress_conversations_chunked(enc: DataFrame) -> DataFrame:
+    """Inverse of compress_conversations_chunked → (conv_id, ts, value);
+    chunk order is restored by sorting blobs on (conv_id, chunk_id)."""
+
+    def _batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["conv_id", "chunk_id"], kind="stable")
+            convs, tss, vss = [], [], []
+            for conv, tb, vb in zip(pdf["conv_id"], pdf["ts_blob"], pdf["val_blob"]):
+                t = decode_ts(bytes(tb))
+                v = decode_vals(bytes(vb))
+                convs.append(np.repeat(conv, len(t)))
+                tss.append(t)
+                vss.append(v)
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.concatenate(convs),
+                    "ts": pd.to_datetime(np.concatenate(tss), unit="us"),
+                    "value": np.concatenate(vss),
+                }
+            )
+
+    return enc.mapInPandas(_batches, "conv_id string, ts timestamp, value double")
 
 
 def compress_conversations(df: DataFrame, shards: int | None = None) -> DataFrame:

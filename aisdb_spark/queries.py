@@ -1047,3 +1047,21 @@ def scalar_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_s(F.col("ts")).alias("epoch_sec"),
         sanitize_csv_text(F.col("text")).alias("sanitized"),
     )
+
+
+@query("multimodal_features")  # byte-kernel plumbing → rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through mapInPandas (decode kernels
+    stubbed; plumbing and batch shape real — see aisdb_spark/multimodal.py)."""
+    from aisdb_spark import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.extract_features(multimodal.with_media(docs))
+
+
+@query("gorilla_chunked_roundtrip", f"""{_PRELUDE}
+SELECT conv_id, ts, CAST(value AS DOUBLE) AS value FROM tv""")
+def gorilla_chunked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked (group-size-capped) codec round-trip — identity oracle."""
+    enc = codec.compress_conversations_chunked(_tv(spark, sf_dir), max_rows=40)
+    return codec.decompress_conversations_chunked(enc)

@@ -101,3 +101,13 @@ def test_detect_hot_convs(spark, synth):
     hot = partitioning.detect_hot_convs(synth, threshold_rows=300)
     ids = [r.conv_id for r in hot.collect()]
     assert ids == ["syn-001"]
+
+
+def test_cascade_partition_invariance(spark, synth):
+    """Byte-match across parallelism: the cascade output is identical no
+    matter how the input is partitioned (the north rule's two-cluster-size
+    correctness invariant, testable within one session)."""
+    tv = _tv(synth)
+    a = rollup.rollup_cascade(tv.repartition(3, "conv_id"))["1d"]
+    b = rollup.rollup_cascade(tv.repartition(31))["1d"]  # round-robin, 31 parts
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

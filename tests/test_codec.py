@@ -59,3 +59,20 @@ def test_spark_roundtrip_identity(spark, synth):
     assert dec.count() == src.count()
     assert dec.exceptAll(src).count() == 0
     assert src.exceptAll(dec).count() == 0
+
+
+def test_chunked_roundtrip_identity(spark, synth):
+    """Oversized conversations are chunked (group-size cap) and the chunked
+    blobs decode back to the identical series."""
+    from aisdb_spark.operators import codec, dedup
+    from aisdb_spark.sources.transcripts import with_value
+
+    tv = with_value(dedup.dedup_turns(synth)).filter(F.col("value").isNotNull())
+    enc = codec.compress_conversations_chunked(tv, max_rows=64)
+    # the hot conversation (400 turns) must split into multiple chunks
+    hot_chunks = enc.filter(F.col("conv_id") == "syn-001").count()
+    assert hot_chunks >= 6
+    dec = codec.decompress_conversations_chunked(enc)
+    src = tv.select("conv_id", "ts", F.col("value").cast("double").alias("value"))
+    assert dec.count() == src.count()
+    assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
