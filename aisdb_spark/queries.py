@@ -896,12 +896,46 @@ def ann_brute_force_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bf_sql(duck=False))
 
 
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of the sign-bucket multi-probe ANN: same literal planes,
+    same fold dot products; the query bucket and its Hamming-1 neighbors
+    are computed in SQL."""
+    import numpy as np
+
+    planes = similarity.hyperplanes(64, 4)
+    terms = []
+    for j, p in enumerate(planes):
+        dot = similarity._dot_expr(
+            "{col}", similarity._vec_literal(p, duck=True), duck=True
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    bucket = "(" + " + ".join(terms) + ")"
+    cos = similarity.cosine_expr("e.embedding", "qe", duck=True)
+    probe = " OR ".join(
+        ["e.bucket = qb.b"] + [f"e.bucket = xor(qb.b, {1 << j})" for j in range(4)]
+    )
+    return f"""WITH base AS (
+  SELECT vec_id, label, embedding,
+    {bucket.replace('{col}', 'embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket.replace('{col}', 'qe')} AS b FROM q)
+SELECT e.vec_id, e.label, {cos} AS cos
+FROM base e CROSS JOIN q CROSS JOIN qb
+WHERE e.vec_id != 0 AND ({probe})
+ORDER BY cos DESC, e.vec_id ASC LIMIT 10"""
+
+
 @query("ann_lsh_top10", None)
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH sign-bucket ANN with Hamming-1 multi-probe (the scale path —
     bucket pruning replaces the full scan)."""
     q = similarity.query_vector(spark, sf_dir, vec_id=0)
     return similarity.ann_topk(spark, sf_dir, q, k=10, n_planes=4)
+
+
+ORACLES["ann_lsh_top10"] = _ann_lsh_oracle()
 
 
 @query("cosine_near_pairs", similarity.cosine_near_pairs_oracle(0.95))

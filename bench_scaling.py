@@ -32,7 +32,7 @@ import sys
 import tempfile
 import time
 
-REPLICATION = 100
+REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "200"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 

@@ -1,0 +1,19 @@
+#!/usr/bin/env python
+"""Run bench_scaling.py N times, report per-trial + median efficiency."""
+import json, subprocess, sys, statistics
+trials = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+runs = []
+for i in range(trials):
+    subprocess.run([sys.executable, "bench_scaling.py"], check=True,
+                   capture_output=True, text=True, timeout=3600)
+    with open("SCALING.json") as f:
+        runs.append(json.load(f))
+summary = {
+    "trials": runs,
+    "compute_efficiency_all": [r["compute_efficiency"] for r in runs],
+    "compute_efficiency_median": statistics.median(r["compute_efficiency"] for r in runs),
+    "end_to_end_efficiency_median": statistics.median(r["end_to_end_efficiency"] for r in runs),
+}
+with open("SCALING.json", "w") as f:
+    json.dump(summary, f, indent=1)
+print(json.dumps({k: v for k, v in summary.items() if k != "trials"}))

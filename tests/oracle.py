@@ -27,7 +27,9 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # exact bit-level comparison: the engine's determinism claims are
+        # IEEE-exact, so the test should be too (hex round-trips doubles)
+        return v.hex()
     return str(v)
 
 
