@@ -368,6 +368,57 @@ def compress_conversations(df: DataFrame, shards: int | None = None) -> DataFram
     )
 
 
+def compress_partitions(df: DataFrame, assume_partitioned: bool = False) -> DataFrame:
+    """Zero-shuffle codec: encode directly over conv_id-partitioned data via
+    ``mapInPandas`` with cross-batch carry-over.
+
+    With storage bucketed by conv_id (the Iceberg ``bucket(64, conv_id)``
+    layout / TimescaleDB ``partitioning_column => 'mmsi'``), every
+    conversation is wholly contained in one partition — so compression
+    needs NO exchange at all: sort within partitions, stream Arrow batches,
+    hold back the possibly-incomplete tail conversation of each batch.
+    ``assume_partitioned=False`` adds the hash exchange for arbitrary input.
+    """
+    base = df.select("conv_id", "turn_idx", "ts", "value")
+    if not assume_partitioned:
+        base = base.repartition("conv_id")
+    base = base.sortWithinPartitions("conv_id", "turn_idx")
+
+    def _encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, g in pdf.groupby("conv_id", sort=False):
+            t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            v = g["value"].to_numpy(dtype=np.float64)
+            tb, vb = encode_ts(t), encode_vals(v)
+            rows.append((conv, len(g), tb, vb, len(g) * 16, len(tb) + len(vb)))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id", "n_points", "ts_blob", "val_blob",
+                "raw_bytes", "enc_bytes",
+            ],
+        )
+
+    def _parts(it):
+        buf: pd.DataFrame | None = None
+        for pdf in it:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # rows are (conv, turn) sorted: the last conversation may continue
+            # in the next Arrow batch — hold it back
+            last = pdf["conv_id"].iloc[-1]
+            tail_start = pdf["conv_id"].searchsorted(last, side="left")
+            body, buf = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
+            if len(body):
+                yield _encode_frame(body)
+        if buf is not None and len(buf):
+            yield _encode_frame(buf)
+
+    return base.mapInPandas(_parts, _ENC_SCHEMA)
+
+
 def decompress_conversations(enc: DataFrame) -> DataFrame:
     """Inverse of compress_conversations → (conv_id, ts, value).
 

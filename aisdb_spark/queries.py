@@ -624,7 +624,7 @@ def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla delta-of-delta + XOR encode → decode identity
     (codec spec: Pelkonen et al. VLDB'15; layout precedent
     aisdb/aisdb_sql/timescale_createtable_dynamic.sql:24-29)."""
-    enc = codec.compress_conversations(_tv(spark, sf_dir))
+    enc = codec.compress_partitions(_tv(spark, sf_dir))
     return codec.decompress_conversations(enc)
 
 
@@ -632,7 +632,7 @@ def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gorilla_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation compression lineage: points, raw vs encoded bytes,
     ratio (the decode-rate metrics analog, aisdb_lib/src/decode.rs:228-257)."""
-    enc = codec.compress_conversations(_tv(spark, sf_dir))
+    enc = codec.compress_partitions(_tv(spark, sf_dir))
     return enc.select(
         "conv_id",
         "n_points",

@@ -94,7 +94,9 @@ def worker(cpus: int) -> None:
         "gap_segmentation": lambda: noop(
             segmentation.segment_bounds(segmentation.gap_split(tv, 3600))
         ),
-        "gorilla_compress": lambda: noop(codec.compress_conversations(tv)),
+        "gorilla_compress": lambda: noop(
+            codec.compress_partitions(tv, assume_partitioned=True)
+        ),
         "cascade_materialized": lambda: cascade_write(),
     }
     result: dict = {"cpus": cpus, "n_turns": n, "stages": {}}

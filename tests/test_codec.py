@@ -76,3 +76,25 @@ def test_chunked_roundtrip_identity(spark, synth):
     src = tv.select("conv_id", "ts", F.col("value").cast("double").alias("value"))
     assert dec.count() == src.count()
     assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
+
+
+def test_compress_partitions_zero_shuffle_identity(spark, synth):
+    """The zero-shuffle (bucketed-storage) codec path produces the same
+    blobs-decode-to-identity result as the grouped path."""
+    from aisdb_spark.operators import codec, dedup
+    from aisdb_spark.sources.transcripts import with_value
+
+    tv = with_value(dedup.dedup_turns(synth)).filter(F.col("value").isNotNull())
+    enc = codec.compress_partitions(tv)
+    dec = codec.decompress_conversations(enc)
+    src = tv.select("conv_id", "ts", F.col("value").cast("double").alias("value"))
+    assert enc.count() == tv.select("conv_id").distinct().count()
+    assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
+    # cross-batch carry-over actually exercised: force tiny Arrow batches
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        enc2 = codec.compress_partitions(tv)
+        dec2 = codec.decompress_conversations(enc2)
+        assert dec2.exceptAll(src).count() == 0 and src.exceptAll(dec2).count() == 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
