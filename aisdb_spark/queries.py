@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aisdb_spark.operators import dedup, deltas, rollup, segmentation
+from aisdb_spark.sources.normalize import read_parquet
 from aisdb_spark.sources.transcripts import (
     TRANSCRIPTS_CTE,
     VALUE_EXPR,
@@ -463,7 +464,7 @@ GROUP BY 1, 2""",
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped scan+agg with exact integer measures; Catalyst pushes
     the shipdate filter into the parquet scan."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(
         f"""SELECT l_returnflag, l_linestatus,{_Q1_MEASURES}
@@ -486,9 +487,9 @@ GROUP BY 1""",
 def orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join: fact ⋈ customer ⋈ broadcast nation dim (the reference's
     dynamic⋈static⋈coarsetype chain shape on the driver tables)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    nation = read_parquet(spark, f"{sf_dir}/nation.parquet")
     return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -728,7 +729,7 @@ from aisdb_spark import textops  # noqa: E402
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     d.createOrReplaceTempView("documents")
     return d
 
@@ -1089,7 +1090,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed; plumbing and batch shape real — see aisdb_spark/multimodal.py)."""
     from aisdb_spark import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return multimodal.extract_features(multimodal.with_media(docs))
 
 

@@ -20,6 +20,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aisdb_spark.sources.normalize import read_parquet
+
 
 def _vec_literal(vals, duck: bool) -> str:
     body = ", ".join(repr(float(v)) for v in vals)
@@ -46,7 +48,7 @@ def cosine_expr(a: str, b: str, duck: bool) -> str:
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     df.createOrReplaceTempView("embeddings")
     return df
 

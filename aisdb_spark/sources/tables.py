@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aisdb_spark.sources.normalize import read_parquet
+
 
 def write_transcripts_table(df: DataFrame, path: str) -> None:
     """Day-partitioned, (conv_id, turn_idx)-clustered materialization."""
@@ -35,14 +37,14 @@ def write_transcripts_table(df: DataFrame, path: str) -> None:
 
 
 def read_transcripts_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("ts_date")
+    return read_parquet(spark, path).drop("ts_date")
 
 
 def time_filtered(spark: SparkSession, path: str, start: str, end: str) -> DataFrame:
     """in_timerange against the materialized table — partition pruning on
     ts_date + row-group pushdown on ts (the month-list pruning of
     aisdb/database/sqlfcn_callbacks.py:17-20, done by the engine)."""
-    df = spark.read.parquet(path)
+    df = read_parquet(spark, path)
     return df.filter(
         (F.col("ts_date") >= F.to_date(F.lit(start)))
         & (F.col("ts_date") <= F.to_date(F.lit(end)))

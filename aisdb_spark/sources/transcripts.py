@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aisdb_spark.schema import TRANSCRIPTS_SCHEMA
+from aisdb_spark.sources.normalize import read_parquet
 
 # Portable SQL (valid in both Spark SQL and DuckDB): the contract that makes
 # the DuckDB oracle see the exact table Spark operators run on.
@@ -66,7 +67,10 @@ VALUE_EXPR = "CAST(length(text) AS BIGINT)"
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # read_parquet pins inferTimestampNTZ=false + UTC session tz so ``ts``
+    # is TIMESTAMP_LTZ under ANY session, including the driver's vanilla one
+    # (round-1 failure mode: unix_micros on TIMESTAMP_NTZ → AnalysisException).
+    return read_parquet(spark, f"{sf_dir}/events.parquet")
 
 
 def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
