@@ -647,8 +647,6 @@ def gorilla_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Milestone 5: as-of joins (weather/raster nearest-lookup analogs).
 # ---------------------------------------------------------------------------
 
-import numpy as np  # noqa: E402
-
 from aisdb_spark.operators import asof  # noqa: E402
 from aisdb_spark.sources.transcripts import load_events  # noqa: E402
 
@@ -693,27 +691,21 @@ SELECT t.conv_id, t.turn_idx, t.ts, r.ref_value AS signups_so_far
 FROM transcripts t ASOF LEFT JOIN uniq r ON t.ts >= r.rts""",
 )
 def asof_signups_so_far(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Un-keyed as-of lookup against a broadcast sorted reference (cumulative
-    signup count) — np.searchsorted in a pandas UDF, the direct analog of
-    binarysearch_vector (src/lib.rs:514-539)."""
+    """Un-keyed as-of: cumulative signup count at or before each turn.
+
+    Signups scale with the fact table (a constant fraction of events), so
+    the round-1 collect-and-broadcast was a driver OOM at 100 TB. Now a
+    distributed bucketed prefix-sum (operators/asof.asof_cumulative_count):
+    only O(parallelism) offsets are broadcast. The genuinely dim-sized
+    broadcast-searchsorted path (raster analog, src/lib.rs:514-539) remains
+    asof.asof_lookup_broadcast, pytest-covered."""
     ev = load_events(spark, sf_dir)
-    sign = (
-        ev.filter(F.col("event_type") == "signup")
-        .select("ts")
-        .orderBy("ts")
-        .collect()
-    )  # reference side is dim-sized: collect+broadcast is the raster pattern
-    ts_us = (
-        np.array([r.ts for r in sign], dtype="datetime64[us]").astype(np.int64)
-        if sign
-        else np.empty(0, dtype=np.int64)
-    )
-    # cumulative count at each unique ts (last occurrence wins)
-    uniq_ts, counts = np.unique(ts_us, return_counts=True)
-    cum = np.cumsum(counts).astype(np.float64)
+    sign = ev.filter(F.col("event_type") == "signup").select("ts")
     t = load_transcripts(spark, sf_dir)
-    return asof.asof_lookup_broadcast(
-        spark, t.select("conv_id", "turn_idx", "ts"), uniq_ts, cum,
+    return asof.asof_cumulative_count(
+        spark,
+        t.select("conv_id", "turn_idx", "ts"),
+        sign,
         out_col="signups_so_far",
     )
 

@@ -98,3 +98,37 @@ def test_text_equality_through_pipeline(synth):
         ~(F.col("text").eqNullSafe(F.col("text_src")))
     ).count()
     assert bad == 0
+
+
+def test_asof_cumulative_count_edges(spark):
+    """Distributed prefix-sum as-of: exact cumulative counts, NULL before the
+    first reference, ties inclusive (ref at probe ts counts), empty ref."""
+    import datetime as dt
+
+    from aisdb_spark.operators import asof
+
+    T = dt.datetime
+    ref = spark.createDataFrame(
+        [(T(2024, 1, 1, 0, 5),), (T(2024, 1, 1, 0, 5),), (T(2024, 1, 1, 2, 0),),
+         (T(2024, 1, 1, 9, 30),)],
+        "ts timestamp",
+    )
+    probe = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 0)),   # before first ref -> NULL
+         (2, T(2024, 1, 1, 0, 5)),   # tie: both 00:05 refs count -> 2
+         (3, T(2024, 1, 1, 1, 0)),   # between -> 2
+         (4, T(2024, 1, 1, 5, 0)),   # empty-bucket fallback to offset -> 3
+         (5, T(2024, 1, 2, 0, 0))],  # after last -> 4
+        "pid int, ts timestamp",
+    )
+    out = {
+        r.pid: r.cum
+        for r in asof.asof_cumulative_count(
+            spark, probe, ref, out_col="cum", n_buckets=7
+        ).collect()
+    }
+    assert out == {1: None, 2: 2.0, 3: 2.0, 4: 3.0, 5: 4.0}
+    # empty reference: all NULL
+    empty = ref.filter("1=0")
+    out2 = asof.asof_cumulative_count(spark, probe, empty, out_col="cum")
+    assert [r.cum for r in out2.collect()] == [None] * 5
