@@ -56,6 +56,20 @@ def lttb(df: DataFrame, n_out: int = 64) -> DataFrame:
     (``src/lib.rs:432-440``): keep first and last, then per bucket the point
     maximizing triangle area against the previous kept point and the next
     bucket's centroid. Deterministic (argmax ties → lowest index).
+
+    Semantics are defined in INTEGER arithmetic so the DuckDB oracle can
+    replay them exactly (no float summation-order ambiguity):
+
+    - x = (epoch_us(ts) - min epoch_us over conv) // 1000 (relative ms),
+      y = value (BIGINT); bucket bounds over the m-2 interior points are
+      ``lo_j = 1 + (j·(m-2)) // (n_out-2)`` (integer floor, strictly
+      increasing because m > n_out);
+    - the argmax compares ``n·area`` (triangle area scaled by the next
+      bucket's point count n, clearing the centroid division):
+      ``|(n·x_a − Σx_next)·(y_c − y_a) − (x_a − x_c)·(Σy_next − n·y_a)|``.
+      Overflow bound: ≤ bucket_size · span_ms · max|Δvalue| — at a
+      100 TB-scale hot conversation (10⁵ turns over a year, |value| ≤ 10⁴)
+      that is ~1600·3.2e10·1e4 ≈ 5e17 < 2⁶³.
     """
     out_schema = "conv_id string, turn_idx int, ts timestamp, value long"
 
@@ -64,21 +78,23 @@ def lttb(df: DataFrame, n_out: int = 64) -> DataFrame:
         m = len(pdf)
         if m <= n_out:
             return pdf[["conv_id", "turn_idx", "ts", "value"]]
-        x = pdf["ts"].astype("int64").to_numpy(dtype=np.float64)
-        y = pdf["value"].to_numpy(dtype=np.float64)
-        # bucket boundaries over the interior points
-        bounds = np.linspace(1, m - 1, n_out - 1).astype(np.int64)
+        us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        x = (us - us.min()) // 1000  # relative ms, int64
+        y = pdf["value"].to_numpy(dtype=np.int64)
+        j = np.arange(n_out - 1, dtype=np.int64)
+        bounds = 1 + (j * (m - 2)) // (n_out - 2)
+        ext = np.append(bounds, m)  # sentinel: last "next slice" = [m-1, m)
         keep = [0]
         a = 0
         for i in range(n_out - 2):
-            lo, hi = bounds[i], bounds[i + 1]
-            nxt_lo, nxt_hi = (bounds[i + 1], m) if i == n_out - 3 else (
-                bounds[i + 1],
-                bounds[i + 2],
-            )
-            cx, cy = x[nxt_lo:nxt_hi].mean(), y[nxt_lo:nxt_hi].mean()
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            nlo, nhi = int(ext[i + 1]), int(ext[i + 2])
+            n = nhi - nlo
+            cxs = x[nlo:nhi].sum()
+            cys = y[nlo:nhi].sum()
             area = np.abs(
-                (x[a] - cx) * (y[lo:hi] - y[a]) - (x[a] - x[lo:hi]) * (cy - y[a])
+                (n * x[a] - cxs) * (y[lo:hi] - y[a])
+                - (x[a] - x[lo:hi]) * (cys - n * y[a])
             )
             a = lo + int(np.argmax(area))
             keep.append(a)

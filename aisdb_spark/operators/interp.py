@@ -120,19 +120,21 @@ def interp_time(df: DataFrame, step_seconds: int = 600) -> DataFrame:
 def ewma(df: DataFrame, alpha: float = 0.3) -> DataFrame:
     """EWMA of the value series per conversation, in turn order.
 
-    pandas ``ewm(alpha=alpha, adjust=True).mean()`` semantics via the
-    recursive form num_t = x_t + (1-α)·num_{t-1}; den_t = 1 + (1-α)·den_{t-1}
-    — vectorizable per group and deterministic (fixed order within group).
+    pandas ``ewm(alpha=alpha, adjust=True).mean()`` semantics. The exact
+    IEEE recursion (pandas aggregations.pyx): ow ← ow·(1-α); if avg ≠ x_t:
+    avg ← (ow·avg + x_t)/(ow + 1); ow ← ow + 1. The DuckDB oracle
+    (queries._ewma_oracle) replays the same op order in a recursive CTE, so
+    the comparison is bit-exact — alpha is passed straight through (no
+    ``1-(1-α)`` round-trip, which is not an IEEE identity).
     Output: (conv_id, turn_idx, ts, value, ewma_value).
     """
-    w = 1.0 - alpha
     schema = "conv_id string, turn_idx int, ts timestamp, value long, ewma_value double"
 
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
         # pandas' C kernel implements exactly the adjust=True recursion
         pdf["ewma_value"] = (
-            pdf["value"].astype("float64").ewm(alpha=1.0 - w, adjust=True).mean()
+            pdf["value"].astype("float64").ewm(alpha=alpha, adjust=True).mean()
         )
         return pdf[["conv_id", "turn_idx", "ts", "value", "ewma_value"]]
 

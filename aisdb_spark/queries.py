@@ -570,9 +570,36 @@ def interp_time_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interp.interp_time(segd, step_seconds=600)
 
 
-@query("ewma_03")  # adjust=True EWMA is not cleanly SQL-expressible → rows-only
+def _ewma_oracle(alpha: float) -> str:
+    """Bit-exact DuckDB oracle for pandas ``ewm(adjust=True).mean()``.
+
+    Replays the pandas C loop op-for-op in a recursive CTE (one recursion
+    step per turn rank, all conversations in lockstep): ow ← ow·w;
+    avg ← (ow·avg + x)/(ow + 1) unless avg = x; ow ← ow + 1, with
+    w embedded via repr so both engines use the identical double.
+    """
+    w = repr(1.0 - alpha)
+    return f"""{_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)},
+ew AS (
+  SELECT conv_id, turn_idx, ts, value,
+    CAST(value AS DOUBLE) AS ewma_value, CAST(1.0 AS DOUBLE) AS old_wt
+  FROM tv WHERE turn_idx = 0
+  UNION ALL
+  SELECT t.conv_id, t.turn_idx, t.ts, t.value,
+    CASE WHEN e.ewma_value = CAST(t.value AS DOUBLE) THEN e.ewma_value
+         ELSE ((e.old_wt * {w}) * e.ewma_value + CAST(t.value AS DOUBLE))
+              / ((e.old_wt * {w}) + 1.0) END,
+    (e.old_wt * {w}) + 1.0
+  FROM ew e JOIN tv t ON t.conv_id = e.conv_id AND t.turn_idx = e.turn_idx + 1
+)
+SELECT conv_id, turn_idx, ts, value, ewma_value FROM ew"""
+
+
+@query("ewma_03", _ewma_oracle(0.3))
 def ewma_03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA smoothing per conversation (north-rule gap-fill variant)."""
+    """EWMA smoothing per conversation (north-rule gap-fill variant).
+    Oracle: recursive CTE replaying pandas' adjust=True recursion with
+    identical IEEE op order — hash-exact doubles (see _ewma_oracle)."""
     return interp.ewma(_tv(spark, sf_dir), alpha=0.3)
 
 
@@ -600,10 +627,75 @@ def interp_spacing_100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lttb_64")  # imperative bucket argmax → rows-only driver check
+def _lttb_oracle(n: int) -> str:
+    """Exact DuckDB oracle for the integer-arithmetic LTTB kernel.
+
+    The kernel's sequential bucket-argmax recursion (selected point of
+    bucket i depends on bucket i-1's choice) is replayed as a recursive CTE
+    stepping bucket-by-bucket, all conversations in lockstep. The argmax is
+    an anti-join (NOT EXISTS a strictly-better candidate, ties → lowest
+    turn_idx); every quantity is BIGINT, so equality is exact by
+    construction — no float op-order concerns.
+    """
+    area = (
+        "abs((nb.n * r.a_x - nb.cxs) * ({p}.y - r.a_y)"
+        " - (r.a_x - {p}.x) * (nb.cys - nb.n * r.a_y))"
+    )
+    a_c, a_c2 = area.format(p="c"), area.format(p="c2")
+    return f"""{_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)},
+pts AS (
+  SELECT conv_id, turn_idx, ts, value,
+    CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS m,
+    (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY conv_id)) // 1000 AS x,
+    CAST(value AS BIGINT) AS y
+  FROM tv
+),
+big AS (SELECT * FROM pts WHERE m > {n}),
+bkt AS (
+  SELECT conv_id, m, j,
+    1 + (j * (m - 2)) // {n - 2} AS lo,
+    CASE WHEN j = {n - 2} THEN m ELSE 1 + ((j + 1) * (m - 2)) // {n - 2} END AS hi
+  FROM (SELECT DISTINCT conv_id, m FROM big), range({n - 1}) r(j)
+),
+bsum AS (
+  SELECT b.conv_id, b.j, b.lo, b.hi,
+    CAST(count(*) AS BIGINT) AS n, sum(p.x) AS cxs, sum(p.y) AS cys
+  FROM bkt b JOIN big p ON p.conv_id = b.conv_id
+    AND p.turn_idx >= b.lo AND p.turn_idx < b.hi
+  GROUP BY 1, 2, 3, 4
+),
+rec AS (
+  SELECT conv_id, -1 AS i, CAST(0 AS BIGINT) AS a_idx, x AS a_x, y AS a_y
+  FROM big WHERE turn_idx = 0
+  UNION ALL
+  SELECT r.conv_id, r.i + 1, CAST(c.turn_idx AS BIGINT), c.x, c.y
+  FROM rec r
+  JOIN bkt cb ON cb.conv_id = r.conv_id AND cb.j = r.i + 1
+  JOIN bsum nb ON nb.conv_id = r.conv_id AND nb.j = r.i + 2
+  JOIN big c ON c.conv_id = r.conv_id
+    AND c.turn_idx >= cb.lo AND c.turn_idx < cb.hi
+  WHERE r.i + 1 <= {n - 3}
+    AND NOT EXISTS (
+      SELECT 1 FROM big c2
+      WHERE c2.conv_id = r.conv_id AND c2.turn_idx >= cb.lo AND c2.turn_idx < cb.hi
+        AND ({a_c2} > {a_c} OR ({a_c2} = {a_c} AND c2.turn_idx < c.turn_idx))
+    )
+),
+keepers AS (
+  SELECT conv_id, a_idx FROM rec
+  UNION SELECT conv_id, m - 1 FROM (SELECT DISTINCT conv_id, m FROM big)
+)
+SELECT p.conv_id, p.turn_idx, p.ts, p.value
+FROM big p JOIN keepers k ON p.conv_id = k.conv_id AND p.turn_idx = k.a_idx
+UNION ALL
+SELECT conv_id, turn_idx, ts, value FROM pts WHERE m <= {n}"""
+
+
+@query("lttb_64", _lttb_oracle(64))
 def lttb_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets decimation to ≤64 points/conversation
-    (VW-decimation slot, src/lib.rs:432-440)."""
+    (VW-decimation slot, src/lib.rs:432-440). Integer-exact semantics;
+    oracle replays the bucket recursion in a recursive CTE (_lttb_oracle)."""
     return downsample.lttb(_tv(spark, sf_dir), n_out=64)
 
 
