@@ -899,12 +899,15 @@ ORACLES["minhash_lsh_pairs"] = _minhash_oracle()
 
 
 def _simhash_oracle() -> str:
-    toks = textops.dialect(True)["tokens"].format(t="text")
-    hv = textops.token_hash_expr(True, toks)
+    d = textops.dialect(True)
+    toks = d["tokens"].format(t="text")
+    h60 = d["H60"].format(s="t")
+    hv = d["lmap"].format(l=toks, lam=f"t -> {h60}")
     sim = textops.simhash_from_hashes(True, "hv")
     bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bkey FROM sh"
-        for b in range(4)
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"{textops.simhash_band_key('simhash', b1, b2)} AS bkey FROM sh"
+        for i, (b1, b2) in enumerate(textops.SIMHASH_BAND_PAIRS)
     )
     return f"""WITH hv_t AS (SELECT doc_id, {hv} AS hv FROM documents),
 sh AS (SELECT doc_id, {sim} AS simhash FROM hv_t),
@@ -917,13 +920,15 @@ cand AS (
   FROM bands l JOIN bands r
     ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
 )
-SELECT doc1, doc2, CAST(hamming AS INTEGER) AS hamming FROM cand WHERE hamming <= 4"""
+SELECT doc1, doc2, CAST(hamming AS INTEGER) AS hamming FROM cand WHERE hamming <= 3"""
 
 
 @query("simhash_near_pairs", None)
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-32 near-dup pairs (banded blocking + Hamming verify)."""
-    return textops.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=4).select(
+    """SimHash-60 near-dup pairs: Manku block-pair banding (10 bands ×
+    24-bit keys), full recall for hamming ≤ 3 by pigeonhole — the
+    scale-bounded replacement for round-1's 8-bit bands."""
+    return textops.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3).select(
         "doc1", "doc2", F.col("hamming").cast("int").alias("hamming")
     )
 
@@ -932,23 +937,48 @@ ORACLES["simhash_near_pairs"] = _simhash_oracle()
 
 
 def _ngram_oracle() -> str:
-    sh = textops.dialect(True)["shingles"].format(
-        t=textops.dialect(True)["tokens"].format(t="text")
+    d = textops.dialect(True)
+    sh = d["shingles"].format(t="t")
+    hs = textops.shingle_hash_expr(True, "t")
+    sigs = textops.minhash_from_hashes(True, "hs")
+    sig_cols = ",\n    ".join(f"{e} AS mh{i}" for i, e in enumerate(sigs))
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band, mh{i} AS bkey FROM mh WHERE mh0 IS NOT NULL"
+        for i in range(len(textops.MINHASH_COEFFS))
     )
-    return f"""WITH d AS (
-  SELECT doc_id, source, list_distinct({sh}) AS s FROM documents
-)
-SELECT l.doc_id AS doc1, r.doc_id AS doc2,
-  round(CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
-        / len(list_distinct(list_concat(l.s, r.s))), 6) AS jaccard
-FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
-WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
-      / len(list_distinct(list_concat(l.s, r.s))) >= 0.4"""
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+hashed AS (SELECT doc_id, t, {hs} AS hs FROM toks),
+mh AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM hashed
+),
+bands AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+),
+sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM toks)
+SELECT doc1, doc2,
+  round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(s1.s, s2.s))), 6) AS jaccard
+FROM cand
+JOIN sh s1 ON cand.doc1 = s1.doc_id
+JOIN sh s2 ON cand.doc2 = s2.doc_id
+WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.4"""
 
 
 @query("ngram_jaccard_pairs", None)
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise 3-gram Jaccard near-dup (block on source)."""
+    """3-gram Jaccard near-dup blocked on single-minhash LSH bands (8 bands
+    × 1 row; 2³¹-cardinality keys — bounded candidate sets at any corpus
+    size, recall 1-(1-J)^8)."""
     return textops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
 
 
@@ -1023,10 +1053,13 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ann_lsh_top10"] = _ann_lsh_oracle()
 
 
-@query("cosine_near_pairs", similarity.cosine_near_pairs_oracle(0.95))
+@query("cosine_near_pairs", similarity.cosine_near_pairs_oracle(0.45))
 def cosine_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (blocked on label)."""
-    return similarity.cosine_near_pairs(spark, sf_dir, threshold=0.95)
+    """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking
+    (b bands x r planes; label blocking was the round-1 scale-killer).
+    Threshold 0.45 because the synthetic embeddings top out at cos~0.51 —
+    at 0.95 the verify stage would never be exercised (0 rows both ways)."""
+    return similarity.cosine_near_pairs(spark, sf_dir, threshold=0.45)
 
 
 # ---------------------------------------------------------------------------

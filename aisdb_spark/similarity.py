@@ -125,44 +125,104 @@ def ann_topk(
     return out.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
 
 
+# Banded hyperplane LSH for near-dup blocking: b bands × r planes; a pair is
+# a candidate iff all r sign bits agree in some band. Per-plane agreement
+# probability for cosine θ is 1 - θ/π (Charikar, STOC'02): at cos ≥ 0.95,
+# p ≈ 0.899 → recall 1-(1-p^r)^b = 0.985 with (r=4, b=4). Scale arithmetic:
+# r sets bucket count (2^r per band) and must grow with corpus size — at
+# 10⁹ vectors, (r=20, b=24) gives ~10⁶ keys/band at ~0.95 recall; band
+# count is the recall knob, key width the occupancy knob. Test scale uses
+# (4, 4): 16 planes, same plan shape.
+NEARDUP_R = 4
+NEARDUP_B = 4
+
+
+def _band_key_expr(planes: np.ndarray, band: int, r: int, duck: bool) -> str:
+    terms = []
+    for j in range(r):
+        p = planes[band * r + j]
+        dot = _dot_expr("embedding", _vec_literal(p, duck), duck)
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def cosine_near_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95,
+    r: int = NEARDUP_R, b: int = NEARDUP_B,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked on label (at scale the
-    block key would be the LSH bucket). Norms are precomputed per vector —
-    the pairwise stage folds only the cross dot product (3x less work; the
-    oracle mirrors the same norm-then-divide formula)."""
+    """Embedding-cosine near-duplicate pairs, blocked on banded hyperplane
+    LSH buckets (replaces round-1's label blocking, whose few huge blocks
+    went quadratic at scale). Candidates = pairs sharing a full sign
+    pattern in any band; verification = exact cosine with precomputed norms
+    (fold order identical to the oracle → bit-equal doubles)."""
+    planes = hyperplanes(dim=64, n_planes=r * b)
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id",
-        "label",
         "embedding",
         F.expr(f"sqrt({_dot_expr('embedding', 'embedding', False)})").alias("nrm"),
     )
-    l, r = emb.alias("l"), emb.alias("r")
-    dot = F.expr(_dot_expr("l.embedding", "r.embedding", duck=False))
-    return (
+    bands = None
+    for i in range(b):
+        part = emb.select(
+            "vec_id",
+            F.lit(i).alias("band"),
+            F.expr(_band_key_expr(planes, i, r, duck=False)).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    l, rr = bands.alias("l"), bands.alias("r")
+    cand = (
         l.join(
-            r,
-            (F.col("l.label") == F.col("r.label"))
+            rr,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
+        .select(F.col("l.vec_id").alias("vec1"), F.col("r.vec_id").alias("vec2"))
+        .distinct()
+    )
+    e1 = emb.select(
+        F.col("vec_id").alias("vec1"),
+        F.col("embedding").alias("emb1"),
+        F.col("nrm").alias("nrm1"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("vec2"),
+        F.col("embedding").alias("emb2"),
+        F.col("nrm").alias("nrm2"),
+    )
+    dot = F.expr(_dot_expr("emb1", "emb2", duck=False))
+    return (
+        cand.join(e1, "vec1")
+        .join(e2, "vec2")
         .select(
-            F.col("l.vec_id").alias("vec1"),
-            F.col("r.vec_id").alias("vec2"),
-            (dot / (F.col("l.nrm") * F.col("r.nrm"))).alias("cos"),
+            "vec1",
+            "vec2",
+            (dot / (F.col("nrm1") * F.col("nrm2"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
 
 
-def cosine_near_pairs_oracle(threshold: float = 0.95) -> str:
-    dot = _dot_expr("l.embedding", "r.embedding", duck=True)
+def cosine_near_pairs_oracle(
+    threshold: float = 0.95, r: int = NEARDUP_R, b: int = NEARDUP_B
+) -> str:
+    planes = hyperplanes(dim=64, n_planes=r * b)
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {i} AS band, "
+        f"{_band_key_expr(planes, i, r, duck=True)} AS bkey FROM embeddings"
+        for i in range(b)
+    )
+    dot = _dot_expr("e1.embedding", "e2.embedding", duck=True)
     nrm = _dot_expr("embedding", "embedding", duck=True)
-    return f"""WITH e AS (
-  SELECT vec_id, label, embedding, sqrt({nrm}) AS nrm FROM embeddings
-)
-SELECT l.vec_id AS vec1, r.vec_id AS vec2,
-  ({dot}) / (l.nrm * r.nrm) AS cos
-FROM e l JOIN e r
-  ON l.label = r.label AND l.vec_id < r.vec_id
-WHERE ({dot}) / (l.nrm * r.nrm) >= {threshold}"""
+    return f"""WITH bands AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec1, r.vec_id AS vec2
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.vec_id < r.vec_id
+),
+e AS (SELECT vec_id, embedding, sqrt({nrm}) AS nrm FROM embeddings)
+SELECT c.vec1, c.vec2, ({dot}) / (e1.nrm * e2.nrm) AS cos
+FROM cand c JOIN e e1 ON c.vec1 = e1.vec_id JOIN e e2 ON c.vec2 = e2.vec_id
+WHERE ({dot}) / (e1.nrm * e2.nrm) >= {threshold}"""

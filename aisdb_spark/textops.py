@@ -14,8 +14,9 @@ Scale notes:
   band join shuffles on the band key — bucket sizes are the skew axis and
   AQE skew-join covers it.
 - Exact dedup is one hash aggregation.
-- n-gram Jaccard uses block-local self-joins (here blocked on ``source``);
-  at 100 TB blocking would come from the LSH buckets instead.
+- n-gram Jaccard blocks on single-minhash LSH bands (2³¹-cardinality keys);
+  SimHash blocks on Manku block-pair bands — both keep candidate sets
+  O(cluster size) rather than O(corpus/blocks).
 """
 
 from __future__ import annotations
@@ -38,11 +39,31 @@ MINHASH_COEFFS = [
 LSH_BANDS = 4  # 4 bands × 2 rows
 LSH_ROWS = 2
 
+# SimHash: 60-bit fingerprint (15 hex chars of md5 — BIGINT-safe in both
+# engines), split into 5 blocks × 12 bits. Candidate blocking is Manku-style
+# (Manku/Jain/Sarma, WWW'07 "Detecting near-duplicates for web crawling"):
+# a band per block *pair* — C(5,2) = 10 bands, 24-bit keys. Pigeonhole
+# guarantee: ≤3 flipped bits dirty ≤3 blocks, leaving ≥2 clean blocks whose
+# pair is one of the 10 bands → full recall for hamming ≤ 3. Occupancy at
+# 10⁹ docs: 2²⁴ ≈ 1.7e7 keys/band → ~60 docs/bucket → ~10 × 1.7e7 × C(60,2)
+# ≈ 3e11 candidate comparisons globally — bounded, vs O(N²/256) for the old
+# 8-bit bands (~2e16 at the same N).
+SIMHASH_BITS = 60
+SIMHASH_BLOCK_BITS = 12
+SIMHASH_BLOCKS = 5
+SIMHASH_BAND_PAIRS = [
+    (b1, b2)
+    for b1 in range(SIMHASH_BLOCKS)
+    for b2 in range(b1 + 1, SIMHASH_BLOCKS)
+]
+
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 _S = {  # Spark SQL dialect fragments
     "tokens": r"split({t}, '\\s+')",
     "H": "CAST(conv(substring(md5({s}), 1, 12), 16, 10) AS BIGINT)",
+    # 60-bit hash for SimHash (15 hex chars < 2^60: signed-BIGINT safe)
+    "H60": "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)",
     "lmin": "array_min({l})",
     "lmap": "transform({l}, {lam})",
     "lsum": "aggregate({l}, 0L, (acc, x) -> acc + x)",
@@ -57,6 +78,11 @@ _D = {  # DuckDB dialect fragments
     "tokens": r"string_split_regex({t}, '\s+')",
     "H": (
         "list_reduce(list_transform(string_split_regex(substr(md5({s}), 1, 12), ''),"
+        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+        " (acc, c) -> acc * 16 + c)"
+    ),
+    "H60": (
+        "list_reduce(list_transform(string_split_regex(substr(md5({s}), 1, 15), ''),"
         " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
         " (acc, c) -> acc * 16 + c)"
     ),
@@ -112,10 +138,16 @@ def token_hash_expr(duck: bool, tokens_expr: str) -> str:
 
 
 def simhash_from_hashes(duck: bool, hashes_expr: str) -> str:
-    """32-bit SimHash from precomputed token hashes (multiplicity counts)."""
+    """60-bit SimHash from precomputed token hashes (multiplicity counts).
+
+    Single-expression (list-fold) form — used by the DuckDB oracle. The
+    Spark operator uses the explode+aggregate form (:func:`with_simhash`)
+    instead: one hash-agg pass with 60 conditional sums beats 60 separate
+    list re-scans. Both are pure integer arithmetic, so they agree exactly.
+    """
     d = dialect(duck)
     bits = []
-    for j in range(32):
+    for j in range(SIMHASH_BITS):
         per_tok = d["lmap"].format(
             l=hashes_expr,
             lam=f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END",
@@ -125,9 +157,14 @@ def simhash_from_hashes(duck: bool, hashes_expr: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def simhash32_expr(duck: bool, tokens_expr: str) -> str:
-    """Back-compat single-expression form."""
-    return simhash_from_hashes(duck, token_hash_expr(duck, tokens_expr))
+def simhash_band_key(col: str, b1: int, b2: int) -> str:
+    """24-bit band key from block pair (b1, b2) of a 60-bit simhash —
+    identical text parses in Spark SQL and DuckDB."""
+    m = (1 << SIMHASH_BLOCK_BITS) - 1
+    return (
+        f"((({col} >> {SIMHASH_BLOCK_BITS * b1}) & {m}) * {1 << SIMHASH_BLOCK_BITS}"
+        f" + (({col} >> {SIMHASH_BLOCK_BITS * b2}) & {m}))"
+    )
 
 
 def fingerprint_expr(duck: bool, tokens_expr: str) -> str:
@@ -295,25 +332,47 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def with_simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc via explode + one hash-aggregation pass.
+
+    Each token row contributes ±1 to 60 conditional sums (map-side combined,
+    integer-exact so order-independent); the fingerprint is then assembled
+    from the 60 sign bits. One shuffle on doc_id; at 100 TB the explode is
+    ~tokens-per-doc fan-out into a hash agg — the scalable shape, vs the old
+    per-bit list re-scan (60 full passes over every token list)."""
     toks = _S["tokens"].format(t="text")
-    return (
-        docs.withColumn("_hv", F.expr(token_hash_expr(False, toks)))
-        .withColumn("simhash", F.expr(simhash_from_hashes(False, "_hv")))
-        .drop("_hv")
+    h = _S["H60"].format(s="tok")
+    tok_rows = docs.select(
+        "doc_id", F.explode(F.expr(toks)).alias("tok")
+    ).withColumn("h", F.expr(h)).drop("tok")
+    sums = tok_rows.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
+    assemble = " + ".join(
+        f"(CASE WHEN _s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    sigs = sums.select("doc_id", F.expr(f"({assemble})").alias("simhash"))
+    return docs.join(sigs, "doc_id", "inner")
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """SimHash near-dup: block on 8-bit bands of the 32-bit signature, then
-    verify Hamming distance via bit_count(xor)."""
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: Manku-style block-pair banding (10 bands of 24-bit
+    keys over 5×12-bit blocks — see SIMHASH_BAND_PAIRS for the occupancy
+    arithmetic), then verify Hamming distance via bit_count(xor). Full
+    recall for hamming ≤ SIMHASH_BLOCKS - 3 = 3 by pigeonhole."""
     sh = with_simhash(docs).select("doc_id", "simhash")
     bands = None
-    for b in range(4):
+    for i, (b1, b2) in enumerate(SIMHASH_BAND_PAIRS):
         part = sh.select(
             "doc_id",
             "simhash",
-            F.lit(b).alias("band"),
-            F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("bkey"),
+            F.lit(i).alias("band"),
+            F.expr(simhash_band_key("simhash", b1, b2)).alias("bkey"),
         )
         bands = part if bands is None else bands.unionByName(part)
     l, r = bands.alias("l"), bands.alias("r")
@@ -338,27 +397,51 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """Blocked pairwise n-gram Jaccard (block = source column)."""
-    d = docs.select("doc_id", "source").join(shingle_sets(docs), "doc_id", "inner")
-    l, r = d.alias("l"), d.alias("r")
-    return (
+    """n-gram Jaccard near-dup, blocked on single-minhash LSH bands.
+
+    Round-1 blocked on the ``source`` column — few, huge blocks →
+    O(N²/blocks) pairwise at scale. Now each of the 8 minhash values is its
+    own band (8 bands × 1 row): candidates are pairs sharing ANY minhash,
+    recall 1-(1-J)^8 (= 0.983 at J=0.4), and the band key has ~P = 2³¹
+    cardinality so bucket occupancy stays O(duplicate-cluster size), not
+    O(corpus/256). Verification is exact Jaccard on distinct shingle sets.
+    """
+    mh = with_minhash(docs).filter(F.col("mh0").isNotNull())
+    bands = None
+    for i in range(len(MINHASH_COEFFS)):
+        part = mh.select(
+            "doc_id", F.lit(i).alias("band"), F.col(f"mh{i}").alias("bkey")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
         l.join(
             r,
-            (F.col("l.source") == F.col("r.source"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .distinct()
+    )
+    shingled = shingle_sets(docs)
+    return (
+        cand.join(
+            shingled.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sh", "sh1"),
+            "doc1",
+        )
+        .join(
+            shingled.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sh", "sh2"),
+            "doc2",
         )
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("l.sh", "r.sh"))
-                / F.size(F.array_union("l.sh", "r.sh")),
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("l.doc_id").alias("doc1"),
-            F.col("r.doc_id").alias("doc2"),
-            "jaccard",
-        )
+        .select("doc1", "doc2", "jaccard")
     )
