@@ -1201,13 +1201,18 @@ def scalar_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # byte-kernel plumbing → rows-only
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction through mapInPandas (decode kernels
-    stubbed; plumbing and batch shape real — see aisdb_spark/multimodal.py)."""
-    from aisdb_spark import multimodal
+from aisdb_spark import multimodal  # noqa: E402
 
+
+@query("multimodal_features", multimodal.multimodal_oracle())
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through mapInPandas with REAL
+    decode kernels (BMP struct parsing, stdlib wave) over deterministic
+    arithmetic payloads. The oracle recomputes every integer feature in
+    closed form from doc_id, so equality proves the encode→decode round
+    trip end-to-end (see aisdb_spark/multimodal.py)."""
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
     return multimodal.extract_features(multimodal.with_media(docs))
 
 

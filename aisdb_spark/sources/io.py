@@ -87,12 +87,18 @@ class IngestLedger:
 
 def ingest_files(
     spark: SparkSession, paths: list[str], ledger: IngestLedger
-) -> DataFrame | None:
-    """Checksum-gated CSV ingest: reads only unseen files, records them.
-    Returns None when everything was already ingested (idempotent re-run)."""
+) -> tuple[DataFrame, "Callable[[], None]"] | None:
+    """Checksum-gated CSV ingest: reads only unseen files.
+
+    Returns ``(df, commit)`` — the caller runs its action (write/count) on
+    ``df`` FIRST and calls ``commit()`` only after it succeeds, matching the
+    reference's process-then-record ordering (aisdb/database/decoder.py:
+    21-116). Recording before the action would permanently skip the files
+    on a failed-then-retried job (silent data loss — round-1 advice item).
+    Returns None when everything was already ingested (idempotent re-run).
+    """
     new = ledger.filter_new(paths)
     if not new:
         return None
     df = read_transcripts_csv(spark, new)
-    ledger.record(new)
-    return df
+    return df, lambda: ledger.record(new)

@@ -10,10 +10,13 @@ an event-time window aggregation with a watermark bounding state, and
 ``src/lib.rs:563-568``).
 
 The streaming aggregation uses the same integer-exact measure set as the
-batch tiers minus first/last (order-dependent measures need the batch path's
-stable ordering; a streaming engine would carry them via
-``applyInPandasWithState``), so a drained stream matches the batch rollup
-on the shared columns — tested in tests/test_streaming.py.
+batch tiers INCLUDING first/last: the order-dependent measures are carried
+declaratively as ``min_by``/``max_by`` over the total event order
+``struct(ts, event_id)`` — commutative, so arrival order and micro-batch
+boundaries cannot change the result (no custom state needed; this replaces
+round-1's dropped first/last). A drained stream equals the batch
+aggregation of the same input on ALL columns — tested in
+tests/test_similarity_multimodal_streaming.py.
 """
 
 from __future__ import annotations
@@ -44,14 +47,25 @@ def stream_rollup_1min(
         .parquet(landing_dir)
         .withWatermark("ts", watermark)
     )
+    return rollup_measures(src)
+
+
+def rollup_measures(events: DataFrame) -> DataFrame:
+    """The shared aggregation — applied identically to a stream or a batch
+    DataFrame, which is what makes the stream==batch test meaningful."""
+    order = F.struct(F.col("ts"), F.col("event_id"))
     return (
-        src.withColumn("cents", F.expr("CAST(round(value * 100) AS BIGINT)"))
+        events.withColumn("cents", F.expr("CAST(round(value * 100) AS BIGINT)"))
         .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("cents").alias("sum_cents"),
             F.min("cents").alias("min_cents"),
             F.max("cents").alias("max_cents"),
+            # first/last by TOTAL event order (ts, event_id): commutative →
+            # arrival order / micro-batch boundaries can't change them
+            F.min_by("cents", order).alias("first_cents"),
+            F.max_by("cents", order).alias("last_cents"),
         )
         .select(
             F.col("w.start").alias("bucket_start"),
@@ -60,6 +74,8 @@ def stream_rollup_1min(
             "sum_cents",
             "min_cents",
             "max_cents",
+            "first_cents",
+            "last_cents",
         )
     )
 

@@ -95,7 +95,14 @@ def test_ingest_ledger_skips_seen_files(spark, tmp_path):
     files = sorted(glob.glob(f"{src}/*.csv"))
     ledger = aio.IngestLedger(str(tmp_path / "ledger.json"))
     first = aio.ingest_files(spark, files, ledger)
-    assert first is not None and first.count() == 100
+    assert first is not None
+    df, commit = first
+    assert df.count() == 100
+    # ledger records ONLY on commit: a crashed job must not mark files seen
+    ledger_mid = aio.IngestLedger(str(tmp_path / "ledger.json"))
+    retry = aio.ingest_files(spark, files, ledger_mid)
+    assert retry is not None  # not yet committed → retry re-reads
+    commit()
     # idempotent re-run: everything seen → None (decoder.py:199-259 analog)
     ledger2 = aio.IngestLedger(str(tmp_path / "ledger.json"))
     assert aio.ingest_files(spark, files, ledger2) is None

@@ -44,17 +44,28 @@ def test_multimodal_features_deterministic(spark):
     media = multimodal.with_media(docs)
     feats = multimodal.extract_features(media)
     assert feats.count() == docs.count()
+    # doc_id=0 is an image: decoded pixel sum must equal the closed form
     row = feats.filter(F.col("doc_id") == 0).collect()[0]
-    # payload is utf-8 text: n_bytes equals n_chars for ASCII corpus
-    src = docs.filter(F.col("doc_id") == 0).collect()[0]
-    assert row.n_bytes == len(src.text.encode())
+    w, h = 16, 16  # _image_dims(0)
+    n = w * h * 3
+    expected = sum((0 * 7 + k) % 256 for k in range(n))
+    assert (row.width, row.height, row.n_units, row.sum_units) == (w, h, n, expected)
     again = multimodal.extract_features(media).filter(F.col("doc_id") == 0).collect()[0]
-    assert (row.mean_byte, row.checksum) == (again.mean_byte, again.checksum)
+    assert (row.mean_unit, row.sum_units) == (again.mean_unit, again.sum_units)
 
 
-def test_multimodal_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+def test_bmp_wav_roundtrip():
+    """Real container codecs: encode→decode identity, including BMP row
+    padding (w=17 → stride 52 ≠ 51) and bottom-up ordering."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (9, 17, 3)).astype(np.uint8)
+    assert np.array_equal(multimodal.decode_image(multimodal.encode_bmp(px)), px)
+    s = rng.integers(-2048, 2048, 777).astype(np.int16)
+    assert np.array_equal(multimodal.decode_audio(multimodal.encode_wav(s)), s)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG0000000000000000000000000000")
 
 
 def test_frame_sampling_only_video(spark):
@@ -79,16 +90,12 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     agg = rollup_stream.stream_rollup_1min(spark, str(landing))
     rollup_stream.drain_to_memory(agg, "s1")
     streamed = spark.sql("SELECT * FROM s1")
+    # identical aggregation applied as a plain batch job — ALL columns,
+    # including the order-dependent first/last (min_by/max_by over the
+    # total (ts, event_id) order)
     ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
-    batch = (
-        ev.withColumn("cents", F.expr("CAST(round(value * 100) AS BIGINT)"))
-        .groupBy(F.date_trunc("minute", "ts").alias("bucket_start"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("cents").alias("sum_cents"),
-            F.min("cents").alias("min_cents"),
-            F.max("cents").alias("max_cents"),
-        )
-    )
+    batch = rollup_stream.rollup_measures(ev)
+    assert set(streamed.columns) == set(batch.columns)
+    assert "first_cents" in streamed.columns and "last_cents" in streamed.columns
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
