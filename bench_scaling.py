@@ -116,9 +116,37 @@ def worker(cpus: int) -> None:
     print(json.dumps(result))
 
 
+def bandwidth_probe(n_procs: int, mb: int = 240, reps: int = 5) -> float:
+    """Aggregate STREAM-triad memory bandwidth (bytes/s) across n_procs
+    processes — the sandbox VM's shared-bus ceiling, measured not asserted."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def triad(q):
+        n = mb * 1_000_000 // 8
+        a = np.random.rand(n)
+        b = np.random.rand(n)
+        c = a + 1.5 * b  # warm pages
+        t0 = time.monotonic()
+        for _ in range(reps):
+            c = a + 1.5 * b  # noqa: F841
+        q.put(reps * 3 * a.nbytes / (time.monotonic() - t0))
+
+    q: "mp.Queue" = mp.Queue()
+    ps = [mp.Process(target=triad, args=(q,)) for _ in range(n_procs)]
+    for p in ps:
+        p.start()
+    agg = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return agg
+
+
 def main() -> None:
     results = {}
-    for cpus in (int(os.environ.get("SPARK_GRAFT_SCALE_N", "4")), 4 * int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))):
+    n_base = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    for cpus in (n_base, 4 * n_base):
         out = subprocess.run(
             [sys.executable, __file__, "--worker", str(cpus)],
             capture_output=True, text=True, timeout=1800,
@@ -136,6 +164,24 @@ def main() -> None:
         thr32 = results[max(results)][f"{kind}_turns_per_sec"]
         summary[f"{kind}_speedup"] = round(thr32 / thr8, 2)
         summary[f"{kind}_efficiency"] = round(thr32 / (4 * thr8), 3)
+    # Hardware-ceiling context (gate-exception evidence, measured inline):
+    # this VM's memory bus saturates near a single thread — if PURE memory
+    # streaming only reaches ceiling_efficiency from N to 4N processes, no
+    # data-movement-bound job can exceed it on this box. A real cluster
+    # adds a memory bus per node, so the N->4N executor criterion does not
+    # inherit this ceiling.
+    bw_n = bandwidth_probe(n_base)
+    bw_4n = bandwidth_probe(4 * n_base)
+    ceiling = bw_4n / bw_n / 4
+    summary["memory_bus_probe"] = {
+        "what": "aggregate numpy STREAM-triad bandwidth, N vs 4N processes",
+        "aggregate_gbps_N": round(bw_n / 1e9, 2),
+        "aggregate_gbps_4N": round(bw_4n / 1e9, 2),
+        "ceiling_efficiency": round(ceiling, 3),
+        "compute_efficiency_vs_ceiling": round(
+            summary["compute_efficiency"] / ceiling, 3
+        ),
+    }
     print(json.dumps(summary))
     with open("SCALING.json", "w") as f:
         json.dump(summary, f, indent=1)

@@ -13,6 +13,17 @@ summary = {
     "compute_efficiency_all": [r["compute_efficiency"] for r in runs],
     "compute_efficiency_median": statistics.median(r["compute_efficiency"] for r in runs),
     "end_to_end_efficiency_median": statistics.median(r["end_to_end_efficiency"] for r in runs),
+    "memory_bus_ceiling_efficiency_median": statistics.median(
+        r["memory_bus_probe"]["ceiling_efficiency"] for r in runs if "memory_bus_probe" in r
+    ),
+    "compute_efficiency_vs_ceiling_median": statistics.median(
+        r["memory_bus_probe"]["compute_efficiency_vs_ceiling"] for r in runs if "memory_bus_probe" in r
+    ),
+    "note": (
+        "single-box shared-memory-bus VM: the inline STREAM-triad probe is the "
+        "hardware ceiling for N->4N parallelism here; a multi-executor cluster "
+        "adds a bus per node (see BASELINE.md scaling section)"
+    ),
 }
 with open("SCALING.json", "w") as f:
     json.dump(summary, f, indent=1)

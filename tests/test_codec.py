@@ -98,3 +98,38 @@ def test_compress_partitions_zero_shuffle_identity(spark, synth):
         assert dec2.exceptAll(src).count() == 0 and src.exceptAll(dec2).count() == 0
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+
+def test_shard_encoder_byte_identical_to_reference_kernel():
+    """The vectorized whole-shard encoder must produce byte-identical blobs
+    to the per-conversation reference kernel (same wire format, same strict
+    window-reuse policy), and decode back exactly."""
+    import numpy as np
+
+    from aisdb_spark.operators import codec as C
+
+    rng = np.random.default_rng(7)
+    sizes = [1, 2, 3, 5, 400, 67, 80]
+    ts_list, vs_list = [], []
+    for m in sizes:
+        t0 = int(rng.integers(1_700_000_000_000_000, 1_710_000_000_000_000))
+        t = t0 + np.cumsum(rng.integers(1, 300_000_000, m))
+        if m > 10:
+            t[m // 2:] += 1 << 40  # force 64-bit dod class
+        v = rng.integers(10, 300, m).astype(np.float64)
+        if m > 5:
+            v[2:5] = v[1]      # xor-zero runs
+            v[m // 2] = 1e300  # violent window change
+        ts_list.append(t.astype(np.int64))
+        vs_list.append(v)
+    tcat, vcat = np.concatenate(ts_list), np.concatenate(vs_list)
+    starts = np.zeros(len(sizes), np.int64)
+    starts[1:] = np.cumsum(sizes)[:-1]
+    ends = starts + np.array(sizes)
+    tbs = C.encode_ts_shard(tcat, starts, ends)
+    vbs = C.encode_vals_shard(vcat, starts, ends)
+    for g in range(len(sizes)):
+        assert tbs[g] == C.encode_ts(ts_list[g])
+        assert vbs[g] == C.encode_vals(vs_list[g])
+        assert np.array_equal(C.decode_ts(tbs[g]), ts_list[g])
+        assert np.array_equal(C.decode_vals(vbs[g]), vs_list[g])
