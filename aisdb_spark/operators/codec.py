@@ -645,3 +645,52 @@ def decompress_conversations(enc: DataFrame) -> DataFrame:
             )
 
     return enc.mapInPandas(_batches, "conv_id string, ts timestamp, value double")
+
+
+def decompress_conversations_arrow(enc: DataFrame) -> DataFrame:
+    """Arrow-native decode: ``mapInArrow`` over the blob table (SURVEY.md
+    §2.9's stated kernel surface). Identical output to
+    ``decompress_conversations``; skips the Arrow→pandas→Arrow conversion
+    entirely — the decoded numpy arrays are handed straight back as Arrow
+    arrays (zero-copy for the fixed-width ts/value columns), which matters
+    when decode feeds another JVM stage at 100 TB (no object-dtype
+    materialization of conv_id strings per row on the Python side either:
+    the repeated-key column is built as one DictionaryArray)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("value", pa.float64()),
+        ]
+    )
+
+    def _batches(it):
+        for rb in it:
+            if rb.num_rows == 0:
+                continue
+            convs = rb.column(rb.schema.get_field_index("conv_id"))
+            tbs = rb.column(rb.schema.get_field_index("ts_blob"))
+            vbs = rb.column(rb.schema.get_field_index("val_blob"))
+            tss, vss, lens = [], [], np.empty(rb.num_rows, dtype=np.int64)
+            for g in range(rb.num_rows):
+                t = decode_ts(tbs[g].as_py())
+                vss.append(decode_vals(vbs[g].as_py()))
+                tss.append(t)
+                lens[g] = len(t)
+            # conv_id expanded as a dictionary array: indices repeat, the
+            # string values stay one-per-conversation
+            idx = np.repeat(np.arange(rb.num_rows, dtype=np.int32), lens)
+            conv_col = pa.DictionaryArray.from_arrays(pa.array(idx), convs)
+            ts_col = pa.array(np.concatenate(tss) if tss else np.array([], np.int64)).cast(
+                pa.timestamp("us")
+            )
+            val_col = pa.array(
+                np.concatenate(vss) if vss else np.array([], np.float64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [conv_col.cast(pa.string()), ts_col, val_col], schema=out_schema
+            )
+
+    return enc.mapInArrow(_batches, "conv_id string, ts timestamp, value double")

@@ -224,7 +224,11 @@ def interp_cubic_spline(df: DataFrame, step_seconds: int = 600) -> DataFrame:
             gx = (grid - t[0]).astype(np.float64)
             j = np.clip(np.searchsorted(x, gx, side="right") - 1, 0, len(x) - 2)
             dx = gx - x[j]
-            out = v[j] + b[j] * dx + c[j] * dx**2 + d[j] * dx**3
+            # explicit multiply chains, NOT dx**3: numpy's SIMD pow rounds
+            # differently from libm pow (DuckDB) — multiplies are IEEE-exact
+            # identical in both engines, which keeps the oracle bit-equal
+            dx2 = dx * dx
+            out = v[j] + b[j] * dx + c[j] * dx2 + d[j] * (dx2 * dx)
             # clamp overhang beyond the last sample (grid inclusive-end)
             out = np.where(gx > x[-1], v[-1], out)
             grids.append(grid)

@@ -1070,10 +1070,74 @@ def cosine_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 from aisdb_spark.operators import encoder  # noqa: E402
 
 
-@query("encode_pathways")  # greedy stateful per-entity machine → rows-only
+def _pathways_oracle(
+    max_jump: float = 4.0, max_rate: float = 0.001, minscore: float = 1e-6
+) -> str:
+    """DuckDB re-implementation of the greedy denoising encoder: a recursive
+    CTE walks each conversation's segments in order, carrying the pathway
+    end-points as a LIST<STRUCT(t,v)> state column; the score/argmax (last
+    max wins, src/lib.rs:16-21) is a list_transform + list_reverse position.
+    Independent recomputation of the full stateful machine, not an export."""
+    return f"""{_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)},
+base AS (
+  SELECT conv_id, turn_idx, ts, epoch_us(ts) AS t_us,
+    CAST(value AS DOUBLE) AS dv, CAST(value AS BIGINT) AS value,
+    CASE WHEN lag(value) OVER w IS NULL THEN 0
+         WHEN abs(value - lag(value) OVER w) >= {max_jump}
+           OR abs(value - lag(value) OVER w)
+              / greatest((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6, 1e-6)
+              >= {max_rate}
+         THEN 1 ELSE 0 END AS brk
+  FROM tv
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+segrows AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+    ROWS UNBOUNDED PRECEDING) AS INT) AS seg
+  FROM base
+),
+segs AS (
+  SELECT conv_id, seg,
+    first(dv ORDER BY turn_idx) AS sv, first(t_us ORDER BY turn_idx) AS st,
+    last(dv ORDER BY turn_idx) AS ev, last(t_us ORDER BY turn_idx) AS et
+  FROM segrows GROUP BY conv_id, seg
+),
+rec AS (
+  SELECT conv_id, seg, CAST(0 AS BIGINT) AS assigned,
+    [{{'t': et, 'v': ev}}] AS paths
+  FROM segs WHERE seg = 0
+  UNION ALL
+  SELECT s.conv_id, s.seg,
+    CASE WHEN best_score >= {minscore} THEN best_p - 1 ELSE len(r.paths) END,
+    CASE WHEN best_score >= {minscore}
+      THEN r.paths[1:best_p-1] || [{{'t': s.et, 'v': s.ev}}]
+           || r.paths[best_p+1:len(r.paths)]
+      ELSE list_append(r.paths, {{'t': s.et, 'v': s.ev}}) END
+  FROM rec r JOIN segs s ON s.conv_id = r.conv_id AND s.seg = r.seg + 1,
+  LATERAL (
+    SELECT list_max(scores) AS best_score,
+      len(scores) - list_position(list_reverse(scores), list_max(scores)) + 1
+        AS best_p
+    FROM (SELECT list_transform(r.paths, p ->
+      CASE WHEN abs(s.sv - p.v) / greatest((s.st - p.t)/1e6, 1e-6) >= {max_rate}
+             OR abs(s.sv - p.v) >= 2.0 * {max_jump}
+           THEN -1.0
+           ELSE {max_jump} / greatest(
+             abs(s.sv - p.v) / greatest((s.st - p.t)/1e6, 1e-6), 1e-9)
+      END) AS scores)
+  )
+)
+SELECT sr.conv_id, sr.turn_idx, sr.ts, sr.value,
+  CAST(r.assigned AS INTEGER) AS pathway_id
+FROM segrows sr JOIN rec r USING (conv_id, seg)"""
+
+
+@query("encode_pathways", _pathways_oracle())
 def encode_pathways_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Denoising encoder: score-based greedy segment→pathway attachment
-    (aisdb/denoising_encoder.py:99-228, src/lib.rs:475-497)."""
+    (aisdb/denoising_encoder.py:99-228, src/lib.rs:475-497). Oracle: the
+    same greedy machine recomputed in DuckDB as a recursive CTE over
+    list-struct state (see _pathways_oracle)."""
     return encoder.encode_pathways(
         _tv(spark, sf_dir), max_jump=4.0, max_rate=0.001, minscore=1e-6
     )
@@ -1106,18 +1170,123 @@ def discontinuity_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.discontinuity_split(filtered, max_idx_jump=1)
 
 
-@query("interp_cubic_spline")  # tridiagonal solve per segment → rows-only
+def _spline_oracle(step_seconds: int = 600) -> str:
+    """Bit-exact DuckDB oracle for the natural-cubic-spline kernel.
+
+    The Thomas tridiagonal solve is two sequential recurrences; both are
+    replayed as recursive CTEs (``fwd`` carries (mu, z) knot-by-knot,
+    ``bwd`` carries c from the far end), all segments advancing in
+    lockstep. Polynomial evaluation uses explicit multiply chains on BOTH
+    sides (the Spark kernel avoids ``dx**3`` because numpy's SIMD pow
+    rounds differently from libm), so every double op is IEEE-identical
+    and the comparison is exact, not approximate.
+    """
+    step_us = step_seconds * 1_000_000
+    return f"""{_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)},{_SEG_CTE},
+sdedup AS (
+  SELECT conv_id, segment_id, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS y
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, segment_id, ts ORDER BY turn_idx DESC) AS rn
+    FROM segd
+  ) WHERE rn = 1
+),
+spts AS (
+  SELECT conv_id, segment_id,
+    CAST(row_number() OVER wp - 1 AS BIGINT) AS i, t_us, y,
+    CAST(t_us - first(t_us) OVER wp AS DOUBLE) AS x,
+    count(*) OVER (PARTITION BY conv_id, segment_id) AS npts
+  FROM sdedup WINDOW wp AS (PARTITION BY conv_id, segment_id ORDER BY t_us)
+),
+good AS (SELECT * FROM spts WHERE npts >= 3),
+knot AS (
+  SELECT conv_id, segment_id, i, x, y, npts, npts - 1 AS n,
+    lead(x) OVER wk - x AS h,
+    lag(x) OVER wk AS x_prev, lead(x) OVER wk AS x_next,
+    lead(y) OVER wk AS y_next,
+    x - lag(x) OVER wk AS h_prev,
+    CASE WHEN i >= 1 AND i <= npts - 2 THEN
+      3.0 * (lead(y) OVER wk - y) / (lead(x) OVER wk - x)
+      - 3.0 * (y - lag(y) OVER wk) / (x - lag(x) OVER wk)
+    END AS alpha
+  FROM good WINDOW wk AS (PARTITION BY conv_id, segment_id ORDER BY i)
+),
+fwd AS (
+  SELECT conv_id, segment_id, CAST(0 AS BIGINT) AS i,
+    CAST(0.0 AS DOUBLE) AS mu, CAST(0.0 AS DOUBLE) AS z, n
+  FROM knot WHERE i = 0
+  UNION ALL
+  SELECT k.conv_id, k.segment_id, k.i,
+    k.h / (2.0 * (k.x_next - k.x_prev) - k.h_prev * f.mu),
+    (k.alpha - k.h_prev * f.z) / (2.0 * (k.x_next - k.x_prev) - k.h_prev * f.mu),
+    f.n
+  FROM fwd f JOIN knot k ON k.conv_id = f.conv_id
+    AND k.segment_id = f.segment_id AND k.i = f.i + 1
+  WHERE f.i + 1 <= f.n - 1
+),
+bwd AS (
+  SELECT conv_id, segment_id, n AS j, CAST(0.0 AS DOUBLE) AS c, n AS n2
+  FROM fwd WHERE i = 0
+  UNION ALL
+  SELECT b.conv_id, b.segment_id, b.j - 1, f.z - f.mu * b.c, b.n2
+  FROM bwd b JOIN fwd f ON f.conv_id = b.conv_id
+    AND f.segment_id = b.segment_id AND f.i = b.j - 1
+  WHERE b.j - 1 >= 0
+),
+coef AS (
+  SELECT k.conv_id, k.segment_id, k.x, k.y,
+    (k.y_next - k.y) / k.h - k.h * (c1.c + 2.0 * c0.c) / 3.0 AS b,
+    c0.c AS c,
+    (c1.c - c0.c) / (3.0 * k.h) AS d
+  FROM knot k
+  JOIN bwd c0 ON c0.conv_id = k.conv_id AND c0.segment_id = k.segment_id
+    AND c0.j = k.i
+  JOIN bwd c1 ON c1.conv_id = k.conv_id AND c1.segment_id = k.segment_id
+    AND c1.j = k.i + 1
+  WHERE k.i <= k.npts - 2
+),
+sbounds AS (
+  SELECT conv_id, segment_id, min(t_us) AS t0, max(t_us) AS t_end,
+    max(x) AS x_end,
+    max(CASE WHEN i = npts - 1 THEN y END) AS y_end
+  FROM good GROUP BY 1, 2
+),
+sgrid AS (
+  SELECT b.conv_id, b.segment_id, g.g AS t_g,
+    CAST(g.g - b.t0 AS DOUBLE) AS gx, b.x_end, b.y_end
+  FROM sbounds b, LATERAL (
+    SELECT unnest(generate_series(b.t0, b.t_end + {step_us} - 1, {step_us})) AS g
+  ) g
+)
+SELECT g.conv_id, g.segment_id, make_timestamp(g.t_g) AS ts,
+  CASE WHEN g.gx > g.x_end THEN g.y_end
+       ELSE co.y + co.b * (g.gx - co.x)
+            + co.c * ((g.gx - co.x) * (g.gx - co.x))
+            + co.d * (((g.gx - co.x) * (g.gx - co.x)) * (g.gx - co.x))
+  END AS value
+FROM sgrid g
+ASOF JOIN coef co
+  ON co.conv_id = g.conv_id AND co.segment_id = g.segment_id AND g.gx >= co.x"""
+
+
+@query("interp_cubic_spline", _spline_oracle(600))
 def interp_cubic_spline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural-cubic-spline resample (aisdb/interp.py:273-356 semantics,
-    numpy tridiagonal solve in place of scipy)."""
+    numpy tridiagonal solve in place of scipy). Oracle: the tridiagonal
+    sweeps replayed as recursive CTEs in DuckDB (_spline_oracle)."""
     segd = seg_mod.gap_split(_tv(spark, sf_dir), gap_seconds=3600)
     return interp.interp_cubic_spline(segd, step_seconds=600)
 
 
-@query("pipeline_canonical")  # multi-stage composition → rows-only
+@query("pipeline_canonical", _pathways_oracle(10.0, 1.0, 1e-5))
 def pipeline_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship chain (aisdb/network_graph.py:504-519 graft): enrich →
-    derived scalar → gap split → pathways; returns the pathway frame."""
+    derived scalar → gap split → pathways; returns the pathway frame.
+    Oracle: the enrichment joins are row-preserving (left joins on conv_id /
+    dim) and the encoder consumes only (conv_id, turn_idx, ts, value), so
+    the end-to-end output must equal the DuckDB pathway machine at the
+    pipeline's default parameters — verifying composition, not just the
+    final operator."""
     from aisdb_spark.plans import pipeline
 
     stages = pipeline.canonical_pipeline(spark, _tv(spark, sf_dir))
@@ -1168,6 +1337,66 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@query(
+    "streaming_rollup_1min",
+    """WITH c AS (
+  SELECT date_trunc('minute', ts) AS bucket_start, user_id, ts, event_id,
+    CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT bucket_start, user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(cents) AS BIGINT) AS sum_cents, min(cents) AS min_cents,
+  max(cents) AS max_cents,
+  first(cents ORDER BY ts, event_id) AS first_cents,
+  last(cents ORDER BY ts, event_id) AS last_cents
+FROM c GROUP BY 1, 2""",
+)
+def streaming_rollup_1min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path driven to completion (SURVEY.md §2.8 —
+    reference live receiver ``aisdb/receiver.py:6-57`` re-expressed as
+    readStream → watermarked 1-minute window → availableNow drain). The
+    order-dependent first/last measures are carried as min_by/max_by over
+    the total event order (ts, event_id), so micro-batch boundaries cannot
+    change the result; the oracle recomputes them batch-side in DuckDB."""
+    from aisdb_spark.streaming import rollup_stream
+
+    return rollup_stream.drained_rollup_1min(
+        spark, sf_dir, glob="events.parquet"
+    )
+
+
+@query(
+    "csv_ingest_roundtrip",
+    f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts""",
+)
+def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → checksum-ledger-gated ingest round trip (SURVEY.md §2.1;
+    reference decoder dedup ``aisdb/database/decoder.py:21-153``). Exports
+    the transcripts to two disjoint CSV shards (one plain, one gzip —
+    exercising the native .csv.gz path), ingests them through the
+    IngestLedger, commits, and proves idempotence (re-ingest returns None)
+    before handing back the decoded DataFrame. Identity oracle: the CSV
+    round trip must preserve every column bit-for-bit, micros included."""
+    import glob as _glob
+    import tempfile
+
+    from aisdb_spark.sources import io as sio
+
+    t = load_transcripts(spark, sf_dir)
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    base = tempfile.mkdtemp(prefix="spark_ingest_")
+    sio.write_transcripts_csv(t.filter(half == 0), f"{base}/a", compress=False)
+    sio.write_transcripts_csv(t.filter(half == 1), f"{base}/b", compress=True)
+    paths = sorted(
+        _glob.glob(f"{base}/a/part-*.csv") + _glob.glob(f"{base}/b/part-*.csv.gz")
+    )
+    ledger = sio.IngestLedger(f"{base}/ledger.json")
+    df, commit = sio.ingest_files(spark, paths, ledger)
+    commit()
+    assert sio.ingest_files(spark, paths, ledger) is None  # idempotent re-run
+    return df
 
 
 @query(

@@ -30,14 +30,22 @@ from aisdb_spark.schema import TRANSCRIPTS_SCHEMA
 CSV_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
+# RFC-4180 dialect (quote-doubling, not backslash-escape): the one CSV
+# variant Spark, pandas, and DuckDB all parse identically — props payloads
+# are JSON full of double quotes, so the dialect choice is load-bearing.
+_CSV_OPTS = {
+    "header": "true",
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "escape": '"',
+}
+
+
+def read_transcripts_csv(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Schema-locked CSV (plain or .gz) → transcripts DataFrame."""
-    return (
-        spark.read.schema(TRANSCRIPTS_SCHEMA)
-        .option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-        .csv(path)
-    )
+    from aisdb_spark.sources.normalize import normalize_session
+
+    normalize_session(spark)  # wall-clock text must parse as UTC instants
+    return spark.read.schema(TRANSCRIPTS_SCHEMA).options(**_CSV_OPTS).csv(path)
 
 
 def write_transcripts_csv(df: DataFrame, path: str, compress: bool = False) -> None:
@@ -48,12 +56,58 @@ def write_transcripts_csv(df: DataFrame, path: str, compress: bool = False) -> N
         .orderBy("conv_id", "turn_idx")
         .coalesce(1)
         .write.mode("overwrite")
-        .option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .options(**_CSV_OPTS)
     )
     if compress:
         w = w.option("compression", "gzip")
     w.csv(path)
+
+
+def read_transcripts_zip(spark: SparkSession, path: str) -> DataFrame:
+    """``.zip`` archive ingest (aisdb/database/decoder.py:119-153: unzip to
+    temp then decode members). Spark-first: ``binaryFile`` scan → in-executor
+    ``zipfile`` over the blob → pandas RFC-4180 parse per member — the
+    archive never touches the driver or a shared temp dir, so N archives
+    decode on N executors. Members are processed in sorted-name order for
+    determinism; non-.csv members are skipped like the reference's suffix
+    filter."""
+    import io as _io
+    import zipfile
+
+    import pandas as pd
+
+    from aisdb_spark.sources.normalize import normalize_session
+
+    normalize_session(spark)  # naive parsed datetimes must mean UTC
+    bin_df = spark.read.format("binaryFile").load(path)
+
+    def _unpack(it):
+        cols = list(CSV_COLUMNS)
+        for pdf in it:
+            for blob in pdf["content"]:
+                with zipfile.ZipFile(_io.BytesIO(blob)) as zf:
+                    for name in sorted(zf.namelist()):
+                        if not name.endswith(".csv"):
+                            continue
+                        m = pd.read_csv(
+                            zf.open(name),
+                            dtype={
+                                "conv_id": "string",
+                                "turn_idx": "int32",
+                                "role": "string",
+                                "text": "string",
+                                "tool": "string",
+                            },
+                        )
+                        m["ts"] = pd.to_datetime(
+                            m["ts"], format="%Y-%m-%d %H:%M:%S.%f"
+                        )
+                        yield m[cols]
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in TRANSCRIPTS_SCHEMA.fields
+    )
+    return bin_df.select("content").mapInPandas(_unpack, schema)
 
 
 def file_checksum(path: str, head_bytes: int = 1000) -> str:

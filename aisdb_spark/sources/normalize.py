@@ -65,7 +65,9 @@ def ensure_ltz(df: DataFrame) -> DataFrame:
     epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
     return df.withColumns(
         {
-            c: F.timestamp_micros(F.timestampdiff("MICROSECOND", epoch_ntz, F.col(c)))
+            c: F.timestamp_micros(
+                F.timestamp_diff("MICROSECOND", epoch_ntz, F.col(c))
+            )
             for c in ntz_cols
         }
     )

@@ -21,14 +21,21 @@ tests/test_similarity_multimodal_streaming.py.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from aisdb_spark.sources.normalize import ensure_ltz, normalize_session
+
+# ts is declared NTZ (raw parquet micros, no session-tz reinterpretation) and
+# converted to the UTC instant by ensure_ltz — deterministic under BOTH a
+# vanilla driver session and the tuned factory, same as the batch loaders.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -38,15 +45,20 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def stream_rollup_1min(
-    spark: SparkSession, landing_dir: str, watermark: str = "10 minutes"
+    spark: SparkSession,
+    landing_dir: str,
+    watermark: str = "10 minutes",
+    glob: str | None = None,
 ) -> DataFrame:
     """readStream(parquet landing dir) → per-user 1-minute windowed rollup
-    with watermark-bounded state. Integer-exact measures (value→cents)."""
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(landing_dir)
-        .withWatermark("ts", watermark)
-    )
+    with watermark-bounded state. Integer-exact measures (value→cents).
+    ``glob`` filters file names inside the landing dir (the file stream
+    source requires a directory basePath)."""
+    normalize_session(spark)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    src = ensure_ltz(reader.parquet(landing_dir)).withWatermark("ts", watermark)
     return rollup_measures(src)
 
 
@@ -55,7 +67,9 @@ def rollup_measures(events: DataFrame) -> DataFrame:
     DataFrame, which is what makes the stream==batch test meaningful."""
     order = F.struct(F.col("ts"), F.col("event_id"))
     return (
-        events.withColumn("cents", F.expr("CAST(round(value * 100) AS BIGINT)"))
+        # floor, not round: Spark rounds HALF_UP, DuckDB half-even — floor is
+        # the only integer-exact map both engines agree on bit-for-bit
+        events.withColumn("cents", F.expr("CAST(floor(value * 100) AS BIGINT)"))
         .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -91,3 +105,17 @@ def drain_to_memory(agg: DataFrame, name: str = "stream_out") -> None:
         .start()
     )
     q.awaitTermination()
+
+
+_drain_seq = itertools.count()
+
+
+def drained_rollup_1min(
+    spark: SparkSession, landing: str, glob: str | None = None
+) -> DataFrame:
+    """Run the full streaming path to completion and return the result as a
+    batch DataFrame (the driver-query surface for SURVEY §2.8). Unique sink
+    name per call so repeat invocations in one session don't collide."""
+    name = f"stream_rollup_{next(_drain_seq)}"
+    drain_to_memory(stream_rollup_1min(spark, landing, glob=glob), name)
+    return spark.table(name)

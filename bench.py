@@ -47,6 +47,9 @@ HEADLINE = [
     "cosine_near_pairs",
     "pricing_summary",
     "orders_by_nation",
+    "encode_pathways",
+    "interp_cubic_spline",
+    "streaming_rollup_1min",
 ]
 
 

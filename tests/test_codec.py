@@ -133,3 +133,17 @@ def test_shard_encoder_byte_identical_to_reference_kernel():
         assert vbs[g] == C.encode_vals(vs_list[g])
         assert np.array_equal(C.decode_ts(tbs[g]), ts_list[g])
         assert np.array_equal(C.decode_vals(vbs[g]), vs_list[g])
+
+
+def test_arrow_decode_equals_pandas_decode(spark, synth):
+    from aisdb_spark.operators import codec, dedup
+    from aisdb_spark.sources.transcripts import with_value
+
+    tv = with_value(dedup.dedup_turns(synth)).filter(F.col("value").isNotNull())
+    enc = codec.compress_conversations(tv).cache()
+    via_pandas = codec.decompress_conversations(enc)
+    via_arrow = codec.decompress_conversations_arrow(enc)
+    assert via_arrow.schema == via_pandas.schema
+    assert via_arrow.count() == via_pandas.count()
+    assert via_arrow.exceptAll(via_pandas).count() == 0
+    enc.unpersist()

@@ -106,3 +106,28 @@ def test_ingest_ledger_skips_seen_files(spark, tmp_path):
     # idempotent re-run: everything seen → None (decoder.py:199-259 analog)
     ledger2 = aio.IngestLedger(str(tmp_path / "ledger.json"))
     assert aio.ingest_files(spark, files, ledger2) is None
+
+
+def test_zip_archive_ingest(spark, tmp_path):
+    """decoder.py:119-153 analog: .zip of CSV members decodes identically
+    to the plain CSV path, including JSON-quoted text and micros."""
+    import glob
+    import zipfile
+
+    from aisdb_spark.sources.transcripts import load_transcripts
+    from tests.conftest import SF_SMALL
+
+    t = load_transcripts(spark, SF_SMALL).limit(300).cache()
+    src = str(tmp_path / "zip_src")
+    aio.write_transcripts_csv(t, src)
+    members = sorted(glob.glob(f"{src}/*.csv"))
+    archive = str(tmp_path / "batch.zip")
+    with zipfile.ZipFile(archive, "w") as zf:
+        for m in members:
+            zf.write(m, arcname=m.split("/")[-1])
+        zf.writestr("ignore.txt", "not a csv")
+    back = aio.read_transcripts_zip(spark, archive)
+    assert back.schema == aio.read_transcripts_csv(spark, members).schema
+    assert back.count() == 300
+    assert back.exceptAll(t.select(*aio.CSV_COLUMNS)).count() == 0
+    t.unpersist()
