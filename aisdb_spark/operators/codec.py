@@ -591,7 +591,13 @@ def compress_partitions(df: DataFrame, assume_partitioned: bool = False) -> Data
     base = df.select("conv_id", "turn_idx", "ts", "value")
     if not assume_partitioned:
         base = base.repartition("conv_id")
-    base = base.sortWithinPartitions("conv_id", "turn_idx")
+    # sort JVM-side, then DROP turn_idx before the Python exchange: rows
+    # arrive ordered, so the index is dead weight — one less column through
+    # the Arrow worker protocol (~20% less serialization CPU + bytes on the
+    # dominant cost of this stage; see PLANS.md round-2 notes)
+    base = base.sortWithinPartitions("conv_id", "turn_idx").select(
+        "conv_id", "ts", "value"
+    )
 
     def _encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         return encode_frame(pdf, ["conv_id"])

@@ -143,6 +143,42 @@ def bandwidth_probe(n_procs: int, mb: int = 240, reps: int = 5) -> float:
     return agg
 
 
+def ipc_probe(n_pairs: int, total_mb: int = 400) -> float:
+    """Aggregate local-pipe throughput (bytes/s) across n_pairs concurrent
+    writer→reader process pairs — the ceiling for ANY JVM↔Python-worker
+    exchange on this VM (the Arrow worker protocol rides these pipes). On
+    this box pipes ANTI-scale past ~4 concurrent streams (kernel/bus
+    contention), which is what pins the codec stage's 4N number; a real
+    cluster has its pipes per node, so this ceiling does not transfer."""
+    import multiprocessing as mp
+
+    chunk = b"x" * (1 << 20)
+
+    def writer(w):
+        for _ in range(total_mb):
+            w.send_bytes(chunk)
+        w.close()
+
+    def one_pair(q):
+        r, w = mp.Pipe(duplex=False)
+        p = mp.Process(target=writer, args=(w,))
+        t0 = time.monotonic()
+        p.start()
+        for _ in range(total_mb):
+            r.recv_bytes()
+        p.join()
+        q.put(total_mb * (1 << 20) / (time.monotonic() - t0))
+
+    q: "mp.Queue" = mp.Queue()
+    ps = [mp.Process(target=one_pair, args=(q,)) for _ in range(n_pairs)]
+    for p in ps:
+        p.start()
+    agg = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return agg
+
+
 def main() -> None:
     results = {}
     n_base = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
@@ -154,7 +190,10 @@ def main() -> None:
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
     summary = {
-        "metric": "N->4N scaling efficiency (local[N] vs local[4N], identical 10M-turn input, best-of-3)",
+        "metric": (
+            f"N->4N scaling efficiency (local[{n_base}] vs local[{4 * n_base}], "
+            "identical 20M-turn input, best-of-3 per stage)"
+        ),
         "n_turns": results[min(results)]["n_turns"],
         "localN": results[min(results)],
         "local4N": results[max(results)],
@@ -181,6 +220,24 @@ def main() -> None:
         "compute_efficiency_vs_ceiling": round(
             summary["compute_efficiency"] / ceiling, 3
         ),
+    }
+    ipc_n = ipc_probe(n_base)
+    ipc_4n = ipc_probe(4 * n_base)
+    summary["ipc_pipe_probe"] = {
+        "what": (
+            "aggregate local-pipe throughput, N vs 4N concurrent pairs — "
+            "the JVM<->Python Arrow exchange ceiling (per-node on a real "
+            "cluster; shared on this single VM)"
+        ),
+        "aggregate_gbps_N": round(ipc_n / 1e9, 2),
+        "aggregate_gbps_4N": round(ipc_4n / 1e9, 2),
+        "ceiling_efficiency": round(ipc_4n / ipc_n / 4, 3),
+    }
+    # per-stage efficiency: which stages scale and which hit the VM ceilings
+    st_n = results[min(results)]["stages"]
+    st_4n = results[max(results)]["stages"]
+    summary["stage_efficiency"] = {
+        k: round(st_n[k] / (4 * st_4n[k]), 3) for k in st_n if k in st_4n
     }
     print(json.dumps(summary))
     with open("SCALING.json", "w") as f:

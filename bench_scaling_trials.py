@@ -16,13 +16,30 @@ summary = {
     "memory_bus_ceiling_efficiency_median": statistics.median(
         r["memory_bus_probe"]["ceiling_efficiency"] for r in runs if "memory_bus_probe" in r
     ),
+    "ipc_pipe_ceiling_efficiency_median": statistics.median(
+        r["ipc_pipe_probe"]["ceiling_efficiency"] for r in runs if "ipc_pipe_probe" in r
+    ),
+    "stage_efficiency_median": {
+        k: statistics.median(r["stage_efficiency"][k] for r in runs if "stage_efficiency" in r)
+        for k in runs[0].get("stage_efficiency", {})
+    },
+    # min-timing estimator: the best observed time per parallelism level
+    # across trials estimates the true cost under one-sided scheduler noise
+    # (the composite of per-level bests, NOT the best ratio)
+    "compute_efficiency_best_of_trials": round(
+        min(r["localN"]["compute_sec"] for r in runs)
+        / (4 * min(r["local4N"]["compute_sec"] for r in runs)),
+        3,
+    ),
     "compute_efficiency_vs_ceiling_median": statistics.median(
         r["memory_bus_probe"]["compute_efficiency_vs_ceiling"] for r in runs if "memory_bus_probe" in r
     ),
     "note": (
-        "single-box shared-memory-bus VM: the inline STREAM-triad probe is the "
-        "hardware ceiling for N->4N parallelism here; a multi-executor cluster "
-        "adds a bus per node (see BASELINE.md scaling section)"
+        "single-box shared-memory-bus VM: the STREAM-triad and pipe probes are "
+        "the measured hardware ceilings for N->4N parallelism here (pipes "
+        "ANTI-scale past ~4 concurrent streams); a multi-executor cluster has "
+        "a memory bus and Python-worker pipes per node, so neither ceiling "
+        "transfers (see BASELINE.md scaling section)"
     ),
 }
 with open("SCALING.json", "w") as f:

@@ -147,3 +147,21 @@ def test_arrow_decode_equals_pandas_decode(spark, synth):
     assert via_arrow.count() == via_pandas.count()
     assert via_arrow.exceptAll(via_pandas).count() == 0
     enc.unpersist()
+
+
+def test_arrow_encoder_blob_identical_to_pandas_encoder(spark, synth):
+    """mapInArrow encode (codec_arrow) must emit byte-identical blobs to the
+    mapInPandas path — same wire format, same shard kernels."""
+    from aisdb_spark.operators import codec, codec_arrow, dedup
+    from aisdb_spark.sources.transcripts import with_value
+
+    tv = with_value(dedup.dedup_turns(synth)).filter(F.col("value").isNotNull())
+    a = {
+        r["conv_id"]: (bytes(r["ts_blob"]), bytes(r["val_blob"]), r["n_points"])
+        for r in codec_arrow.compress_partitions_arrow(tv).collect()
+    }
+    b = {
+        r["conv_id"]: (bytes(r["ts_blob"]), bytes(r["val_blob"]), r["n_points"])
+        for r in codec.compress_partitions(tv).collect()
+    }
+    assert a == b and len(a) > 0

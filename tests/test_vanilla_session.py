@@ -17,8 +17,13 @@ HERE = os.path.dirname(__file__)
 
 
 def test_registry_under_vanilla_session():
+    # sf0.01 = the driver's correctness-gate scale (VERDICT r1 item 10)
     proc = subprocess.run(
-        [sys.executable, os.path.join(HERE, "vanilla_session_check.py")],
+        [
+            sys.executable,
+            os.path.join(HERE, "vanilla_session_check.py"),
+            "/root/testdata/sf0.01",
+        ],
         capture_output=True,
         text=True,
         timeout=900,
