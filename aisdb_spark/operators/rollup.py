@@ -99,3 +99,49 @@ def rollup_cascade(df: DataFrame) -> dict[str, DataFrame]:
     t1h = tier_from_finer(t1m, "hour")
     t1d = tier_from_finer(t1h, "day")
     return {"1min": t1m, "1h": t1h, "1d": t1d}
+
+
+def temporal_bin_salted(
+    df: DataFrame, unit: str = "minute", salt_buckets: int = 8,
+    chunk_rows: int = 16,
+) -> DataFrame:
+    """Hot-key-safe two-phase rollup: partial aggregate per
+    (conv, bucket, salt), then merge — byte-identical to
+    :func:`temporal_bin` because every measure is algebraic (count/sum/
+    min/max compose; first/last carried with their turn_idx boundaries and
+    re-argmin/argmaxed in the merge).
+
+    This is the skew plan for a conversation so hot that a single
+    (conv, bucket) group overwhelms one reducer (FIXTURES.md plants a 100x
+    conversation; the reference's analog is TimescaleDB's mmsi-hash
+    partitioning, aisdb/aisdb_sql/timescale_createtable_dynamic.sql:16-22).
+    The salt is derived from turn_idx (plans/partitioning.with_salt), so
+    partials stay contiguous in turn order and the merge keys are exact.
+    """
+    from aisdb_spark.plans.partitioning import with_salt
+
+    assert unit in TIER_UNITS, unit
+    partial = (
+        with_salt(df, salt_buckets=salt_buckets, chunk_rows=chunk_rows)
+        .groupBy(
+            "conv_id", F.date_trunc(unit, "ts").alias("bucket_start"), "salt"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.min_by("value", "turn_idx").alias("f"),
+            F.max_by("value", "turn_idx").alias("l"),
+            F.min("turn_idx").alias("ti_min"),
+            F.max("turn_idx").alias("ti_max"),
+        )
+    )
+    return partial.groupBy("conv_id", "bucket_start").agg(
+        F.sum("n").alias("n_turns"),
+        F.sum("s").alias("sum_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+        F.min_by("f", "ti_min").alias("first_value"),
+        F.max_by("l", "ti_max").alias("last_value"),
+    )

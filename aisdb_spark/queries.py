@@ -68,6 +68,21 @@ def rollup_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_rollup_1min",
+    f"""{_PRELUDE}
+SELECT conv_id, date_trunc('minute', ts) AS bucket_start,{_ROLLUP_MEASURES}
+FROM tv GROUP BY 1, 2""",
+)
+def salted_rollup_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe two-phase rollup (partial per (conv, bucket, salt) →
+    merge) — the skew plan for conversations too hot for one reducer
+    (plans/partitioning.with_salt; TimescaleDB mmsi-hash partitioning
+    analog). Shares rollup_1min's oracle: salted ≡ direct, proven by the
+    driver's value hash, not just a unit test."""
+    return rollup.temporal_bin_salted(_tv(spark, sf_dir), "minute")
+
+
+@query(
     "rollup_1h",
     f"""{_PRELUDE}
 SELECT conv_id, date_trunc('hour', ts) AS bucket_start,{_ROLLUP_MEASURES}
@@ -1362,6 +1377,39 @@ def streaming_rollup_1min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aisdb_spark.streaming import rollup_stream
 
     return rollup_stream.drained_rollup_1min(
+        spark, sf_dir, glob="events.parquet"
+    )
+
+
+@query(
+    "streaming_user_sessions",
+    """WITH flagged AS (
+  SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+    THEN 1 ELSE 0 END AS flag
+  FROM events
+),
+sess AS (
+  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM sess GROUP BY user_id, sid""",
+)
+def streaming_user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization (session_window + merging state
+    store), drained to completion — the streaming twin of user_sessions.
+    session_window merges on gap STRICTLY < 30 min, so the oracle splits on
+    >= 1800000000 µs (the batch user_sessions query keeps AISdb's > rule;
+    both are exact, the boundary case differs and the oracles encode each
+    side's rule)."""
+    from aisdb_spark.streaming import rollup_stream
+
+    return rollup_stream.drained_user_sessions(
         spark, sf_dir, glob="events.parquet"
     )
 

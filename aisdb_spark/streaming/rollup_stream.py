@@ -119,3 +119,54 @@ def drained_rollup_1min(
     name = f"stream_rollup_{next(_drain_seq)}"
     drain_to_memory(stream_rollup_1min(spark, landing, glob=glob), name)
     return spark.table(name)
+
+
+def stream_user_sessions(
+    spark: SparkSession,
+    landing_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    glob: str | None = None,
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` merges events
+    whose gap is STRICTLY under ``gap`` (the batch twin in queries.py
+    user_sessions splits on > gap — boundary semantics differ by one
+    microsecond-measure-zero case; the oracle encodes this one's rule).
+    State is merged per (user, window) by the SessionWindowStateStore —
+    the Spark-native upgrade of the reference receiver's per-entity flush
+    buffers (aisdb/receiver.py:6-57)."""
+    normalize_session(spark)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    src = ensure_ltz(reader.parquet(landing_dir)).withWatermark("ts", watermark)
+    return (
+        src.withColumn("cents", F.expr("CAST(floor(value * 100) AS BIGINT)"))
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_cents"
+        )
+    )
+
+
+def drained_user_sessions(
+    spark: SparkSession, landing: str, glob: str | None = None
+) -> DataFrame:
+    """Run streaming sessionization to completion → batch DataFrame."""
+    name = f"stream_sessions_{next(_drain_seq)}"
+    q = (
+        stream_user_sessions(spark, landing, glob=glob)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

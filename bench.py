@@ -50,6 +50,8 @@ HEADLINE = [
     "encode_pathways",
     "interp_cubic_spline",
     "streaming_rollup_1min",
+    "streaming_user_sessions",
+    "salted_rollup_1min",
 ]
 
 
