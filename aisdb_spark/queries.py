@@ -736,17 +736,92 @@ def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codec.decompress_conversations(enc)
 
 
-@query("gorilla_metrics")  # per-partition lineage metrics → rows-only
+# The metrics oracle re-derives the codec's EXACT compressed byte size in
+# pure SQL: ts stream = 24-byte header + delta-of-delta class bits
+# (0/10+16/110+32/1110+64 — costs 1/18/35/68); value stream = 16-byte header
+# + Gorilla XOR bits, where the STRICT window-reuse policy (reuse iff the
+# element's own (lead, mlen) equals the previous nonzero's — codec.py
+# encode_vals) makes the stateful window machine a lag-over-nonzeros, no
+# recursion needed. Float64 bit patterns of the integer-valued series are
+# computed arithmetically ((1023+e)<<52 | mantissa); leading/trailing zero
+# counts via bin() string trims. Each stream pads to a byte boundary
+# (np.packbits), hence the (bits+7)//8.
+_GORILLA_SIZE_ORACLE = f"""{_PRELUDE},
+ord_pts AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS tus, CAST(value AS BIGINT) AS vi
+  FROM tv
+),
+fb AS (
+  SELECT conv_id, turn_idx, tus,
+    CASE WHEN vi = 0 THEN 0
+         ELSE ((1023::BIGINT + e) << 52) | ((vi << (52 - e)) & ((1::BIGINT << 52) - 1))
+    END AS bits
+  FROM (SELECT *, CASE WHEN vi = 0 THEN 0
+                       ELSE length(ltrim(bin(vi), '0')) - 1 END AS e FROM ord_pts)
+),
+xr AS (
+  SELECT conv_id,
+    row_number() OVER w - 1 AS idx,
+    xor(bits, lag(bits) OVER w) AS x,
+    (tus - lag(tus) OVER w) - (lag(tus) OVER w - lag(tus, 2) OVER w) AS dod
+  FROM fb WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+costed AS (
+  SELECT conv_id,
+    CASE WHEN idx < 2 THEN 0
+         WHEN zz = 0 THEN 1
+         WHEN zz < 65536 THEN 18
+         WHEN zz < 4294967296 THEN 35
+         ELSE 68 END AS ts_bits,
+    CASE WHEN idx < 1 THEN 0
+         WHEN x = 0 THEN 1
+         WHEN pw IS NOT NULL AND pw = li * 65 + mlen THEN 2 + mlen
+         ELSE 13 + mlen END AS val_bits
+  FROM (
+    SELECT *,
+      last_value(CASE WHEN idx >= 1 AND x <> 0 THEN li * 65 + mlen END IGNORE NULLS)
+        OVER (PARTITION BY conv_id ORDER BY idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pw
+    FROM (
+      SELECT *, least(lz, 31) AS li, 64 - least(lz, 31) - tz AS mlen
+      FROM (
+        SELECT conv_id, idx, x,
+          CASE WHEN dod >= 0 THEN 2 * dod ELSE -2 * dod - 1 END AS zz,
+          64 - length(ltrim(bin(x), '0')) AS lz,
+          CASE WHEN x = 0 THEN 64
+               ELSE length(ltrim(bin(x), '0'))
+                    - length(rtrim(ltrim(bin(x), '0'), '0')) END AS tz
+        FROM xr
+      )
+    )
+  )
+)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_points,
+  CAST(16 * count(*) AS BIGINT) AS raw_bytes,
+  CAST(24 + CASE WHEN count(*) <= 2 THEN 0 ELSE (sum(ts_bits) + 7) // 8 END
+     + 16 + CASE WHEN count(*) <= 1 THEN 0 ELSE (sum(val_bits) + 7) // 8 END
+     AS BIGINT) AS enc_bytes,
+  CAST(16 * count(*) AS DOUBLE)
+    / (24 + CASE WHEN count(*) <= 2 THEN 0 ELSE (sum(ts_bits) + 7) // 8 END
+     + 16 + CASE WHEN count(*) <= 1 THEN 0 ELSE (sum(val_bits) + 7) // 8 END)
+    AS ratio
+FROM costed GROUP BY conv_id"""
+
+
+@query("gorilla_metrics", _GORILLA_SIZE_ORACLE)
 def gorilla_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation compression lineage: points, raw vs encoded bytes,
-    ratio (the decode-rate metrics analog, aisdb_lib/src/decode.rs:228-257)."""
+    ratio (the decode-rate metrics analog, aisdb_lib/src/decode.rs:228-257).
+    The oracle recomputes the codec's exact wire size bit-by-bit in DuckDB
+    SQL (_GORILLA_SIZE_ORACLE), so enc_bytes is hash-checked, not trusted."""
     enc = codec.compress_partitions(_tv(spark, sf_dir))
     return enc.select(
         "conv_id",
         "n_points",
         "raw_bytes",
         "enc_bytes",
-        F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3).alias("ratio"),
+        (F.col("raw_bytes").cast("double") / F.col("enc_bytes")).alias("ratio"),
     )
 
 
