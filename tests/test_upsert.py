@@ -1,0 +1,109 @@
+"""Late-data upsert invariants: incremental merge == one-shot batch rollup.
+
+Reference contract: late rows simply insert into the monthly table and the
+PK absorbs duplicates (``aisdb/database/decoder.py:199-259``); here the
+equivalent guarantee is that ANY micro-batch split of the input — however
+late — converges the materialized tier to the batch answer, and re-draining
+with no new files changes nothing (exactly-once resume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aisdb_spark.operators import rollup
+from aisdb_spark.sources.transcripts import load_transcripts, with_value
+from aisdb_spark.streaming import upsert as ups
+from tests.conftest import SF_SMALL
+
+
+def _tv(spark):
+    return with_value(load_transcripts(spark, SF_SMALL)).select(
+        "conv_id", "turn_idx", "ts", "value"
+    )
+
+
+def _schema(tv):
+    return T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", tv.schema["turn_idx"].dataType),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", tv.schema["value"].dataType),
+        ]
+    )
+
+
+def _expected(tv):
+    return rollup.temporal_bin(tv, "minute")
+
+
+def test_three_wave_upsert_converges(spark, tmp_path):
+    tv = _tv(spark).cache()
+    landing = str(tmp_path / "landing")
+    tier = str(tmp_path / "tier")
+    ck = str(tmp_path / "ck")
+    for wave in range(3):
+        tv.filter(F.pmod("turn_idx", F.lit(3)) == wave).write.parquet(
+            f"{landing}/w{wave}"
+        )
+        ups.stream_upsert_1min(
+            spark, landing, tier, ck, _schema(tv), glob="part-*.parquet"
+        )
+    got = ups.read_tier_public(spark, tier)
+    exp = _expected(tv)
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_redrain_is_idempotent(spark, tmp_path):
+    tv = _tv(spark).cache()
+    landing = str(tmp_path / "landing")
+    tier = str(tmp_path / "tier")
+    ck = str(tmp_path / "ck")
+    tv.write.parquet(f"{landing}/w0")
+    ups.stream_upsert_1min(
+        spark, landing, tier, ck, _schema(tv), glob="part-*.parquet"
+    )
+    before = ups.read_tier_public(spark, tier).collect()
+    # resume with nothing new: processed files are in the checkpoint log
+    ups.stream_upsert_1min(
+        spark, landing, tier, ck, _schema(tv), glob="part-*.parquet"
+    )
+    after = ups.read_tier_public(spark, tier).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_cascade_refresh_propagates_late_data(spark, tmp_path):
+    """Late waves upserted into 1min must refresh 1h and 1d for affected
+    days only, converging ALL tiers to the one-shot batch cascade."""
+    tv = _tv(spark).cache()
+    t1 = str(tmp_path / "t1min")
+    dirs = {"1h": str(tmp_path / "t1h"), "1d": str(tmp_path / "t1d")}
+    for wave in range(2):
+        batch = tv.filter(F.pmod("turn_idx", F.lit(2)) == wave)
+        ups.upsert_batch_cascade(spark, batch, t1, dirs)
+    exp_1m = rollup.temporal_bin(tv, "minute")
+    exp_1h = rollup.tier_from_finer(exp_1m, "hour")
+    exp_1d = rollup.tier_from_finer(exp_1h, "day")
+    for path, exp in ((t1, exp_1m), (dirs["1h"], exp_1h), (dirs["1d"], exp_1d)):
+        got = (
+            ups.read_tier_public(spark, path)
+            if path == t1
+            else spark.read.parquet(path).drop("bucket_date")
+        )
+        assert got.exceptAll(exp).count() == 0, path
+        assert exp.exceptAll(got).count() == 0, path
+
+
+def test_partial_merge_is_algebraic(spark):
+    """merge(partials of any split) == partials of the whole — the property
+    that makes the stored tier upsertable."""
+    tv = _tv(spark).cache()
+    whole = ups.partial_1min(tv)
+    a = ups.partial_1min(tv.filter(F.pmod("turn_idx", F.lit(2)) == 0))
+    b = ups.partial_1min(tv.filter(F.pmod("turn_idx", F.lit(2)) == 1))
+    merged = ups.merge_partials(a.unionByName(b))
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
