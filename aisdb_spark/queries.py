@@ -1537,6 +1537,57 @@ def late_upsert_1min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_compaction",
+    f"""{_PRELUDE}
+SELECT conv_id, date_trunc('minute', ts) AS bucket_start,{_ROLLUP_MEASURES}
+FROM tv
+WHERE CAST(ts AS DATE) >= (SELECT min(CAST(ts AS DATE)) FROM tv) + INTERVAL 1 DAY
+GROUP BY 1, 2""",
+)
+def retention_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier maintenance end-to-end (reference monthly DROP TABLE
+    ``aisdb/database/dbconn.py:147,467``; TimescaleDB drop_chunks +
+    recompression): materialize the cascade, fragment the 1min tier's first
+    day partition (as many tiny upserts would), bin-pack it back with a
+    checksum-verified compaction, then drop the oldest day via the
+    retention policy. The oracle is the batch rollup restricted to the
+    surviving dates — equality proves retention dropped exactly the right
+    partitions and compaction changed no row anywhere."""
+    import tempfile
+
+    from aisdb_spark import checkpoint, maintenance
+
+    tv = _tv(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_maint_")
+    checkpoint.materialize_cascade(spark, tv, base)
+    tier = f"{base}/1min"
+    parts = maintenance._date_partitions(tier)
+    # fragment day 0, then compact it back (no-op on the other days)
+    frag = (
+        spark.read.parquet(parts[0][1])
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+    frag.write.mode("overwrite").parquet(parts[0][1])
+    report = maintenance.compact_tier(
+        spark, tier, target_bytes=1 << 30, min_files_to_compact=4
+    )
+    assert report["compacted"] == 1, report
+    cutoff = parts[0][0] + __import__("datetime").timedelta(days=1)
+    maintenance.enforce_retention({"1min": tier}, {"1min": cutoff})
+    return spark.read.parquet(tier).select(
+        "conv_id",
+        "bucket_start",
+        "n_turns",
+        "sum_value",
+        "min_value",
+        "max_value",
+        "first_value",
+        "last_value",
+    )
+
+
+@query(
     "csv_ingest_roundtrip",
     f"""{_PRELUDE}
 SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts""",
