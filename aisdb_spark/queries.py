@@ -1536,6 +1536,43 @@ def late_upsert_1min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ups.read_tier_public(spark, tier)
 
 
+@query("streaming_ewma_03", _ewma_oracle(0.3))
+def streaming_ewma_03_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EWMA via ``applyInPandasWithState`` — per-conv
+    (ow, avg) state carried in the state store across micro-batches
+    (streaming/stateful.py; the streaming twin of ewma_03, reference
+    gap-fill ``aisdb/interp.py:57-118``). Drained as one wave the
+    virgin-state path is pandas' own kernel, so this reuses ewma_03's
+    bit-exact recursive-CTE oracle; cross-batch state continuation is
+    covered by tests/test_stateful_stream.py (≤1e-9 IEEE drift bound)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from aisdb_spark.streaming import stateful
+
+    tv = _tv(spark, sf_dir).select("conv_id", "turn_idx", "ts", "value")
+    base = tempfile.mkdtemp(prefix="spark_sewma_")
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", tv.schema["turn_idx"].dataType),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", tv.schema["value"].dataType),
+        ]
+    )
+    tv.coalesce(1).write.parquet(f"{base}/landing/w0")
+    return stateful.drain_ewma(
+        spark,
+        f"{base}/landing",
+        schema,
+        f"{base}/out",
+        f"{base}/ck",
+        alpha=0.3,
+        glob="part-*.parquet",
+    )
+
+
 @query(
     "retention_compaction",
     f"""{_PRELUDE}

@@ -97,6 +97,24 @@ def test_cascade_refresh_propagates_late_data(spark, tmp_path):
         assert exp.exceptAll(got).count() == 0, path
 
 
+def test_upsert_tier_scan_is_partition_pruned(spark, tmp_path):
+    """The merge must read only affected bucket_date directories — the
+    property that keeps per-batch cost ∝ late data at 100 TB."""
+    import datetime as dt
+
+    tv = _tv(spark).cache()
+    tier = str(tmp_path / "tier")
+    ups.upsert_batch(spark, tv, tier)
+    some_date = spark.read.parquet(tier).select("bucket_date").first()[0]
+    pruned = spark.read.parquet(tier).filter(
+        F.col("bucket_date").isin([some_date])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket_date" in plan
+    # and the pruned scan returns strictly fewer rows than the full tier
+    assert pruned.count() < spark.read.parquet(tier).count()
+
+
 def test_partial_merge_is_algebraic(spark):
     """merge(partials of any split) == partials of the whole — the property
     that makes the stored tier upsertable."""
