@@ -366,15 +366,23 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     arithmetic), then verify Hamming distance via bit_count(xor). Full
     recall for hamming ≤ SIMHASH_BLOCKS - 3 = 3 by pigeonhole."""
     sh = with_simhash(docs).select("doc_id", "simhash")
-    bands = None
-    for i, (b1, b2) in enumerate(SIMHASH_BAND_PAIRS):
-        part = sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("band"),
-            F.expr(simhash_band_key("simhash", b1, b2)).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # ONE pass: explode each signature into its 10 (band, bkey) rows.
+    # The old 10-way unionByName re-evaluated the signature subtree per
+    # branch and per join side; with a single subtree both sides of the
+    # self-join shuffle the SAME exchange (ReusedExchange in the plan) —
+    # measured 7.2 s -> see PLANS.md.
+    key_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(simhash_band_key("simhash", b1, b2)).alias("bkey"),
+            )
+            for i, (b1, b2) in enumerate(SIMHASH_BAND_PAIRS)
+        ]
+    )
+    bands = sh.select(
+        "doc_id", "simhash", F.explode(key_structs).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(

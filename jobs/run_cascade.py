@@ -21,6 +21,20 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="tier output root")
     ap.add_argument("--gap-seconds", type=int, default=3600)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument(
+        "--retention-keep-days",
+        default=None,
+        help=(
+            "comma list tier=days (e.g. 1min=30,1h=180,1d=3650); cutoff is "
+            "relative to the corpus max date, so runs are deterministic"
+        ),
+    )
+    ap.add_argument(
+        "--compact-target-mb",
+        type=int,
+        default=None,
+        help="bin-pack fragmented day partitions of the 1min tier",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -38,6 +52,35 @@ def main() -> None:
         segmentation.gap_split(tv, args.gap_seconds)
     )
     n_segments = seg.count()
+    maintenance_report = {}
+    if args.retention_keep_days or args.compact_target_mb:
+        import datetime as dt
+        import os
+
+        from pyspark.sql import functions as F
+
+        from aisdb_spark import maintenance
+
+        tier_dirs = {
+            t: os.path.join(args.output, t) for t in ("1min", "1h", "1d")
+        }
+        if args.compact_target_mb:
+            maintenance_report["compaction"] = maintenance.compact_tier(
+                spark,
+                tier_dirs["1min"],
+                target_bytes=args.compact_target_mb << 20,
+            )
+        if args.retention_keep_days:
+            max_date = tv.agg(F.max(F.to_date("ts"))).collect()[0][0]
+            cutoffs = {}
+            for part in args.retention_keep_days.split(","):
+                tier, days = part.split("=")
+                cutoffs[tier.strip()] = max_date - dt.timedelta(
+                    days=int(days) - 1
+                )
+            maintenance_report["retention"] = maintenance.enforce_retention(
+                tier_dirs, cutoffs
+            )
     enc = codec.compress_conversations(tv)
     stats = enc.agg(
         {"n_points": "sum", "raw_bytes": "sum", "enc_bytes": "sum"}
@@ -47,6 +90,11 @@ def main() -> None:
             {
                 "tiers": tiers,
                 "n_segments": n_segments,
+                **(
+                    {"maintenance": maintenance_report}
+                    if maintenance_report
+                    else {}
+                ),
                 "codec": {
                     "points": int(stats["sum(n_points)"]),
                     "raw_bytes": int(stats["sum(raw_bytes)"]),

@@ -33,6 +33,8 @@ def test_spark_submit_py_files(tmp_path):
             "jobs/run_cascade.py",
             "--input", SF_SMALL,
             "--output", out_dir,
+            "--retention-keep-days", "1min=2,1h=3650,1d=3650",
+            "--compact-target-mb", "256",
         ],
         capture_output=True,
         text=True,
@@ -47,3 +49,13 @@ def test_spark_submit_py_files(tmp_path):
     assert result["codec"]["ratio"] > 1.0
     for tier in ("1min", "1h", "1d"):
         assert os.path.exists(os.path.join(out_dir, tier, "_tier_manifest.json"))
+    # maintenance stage ran: 2-day horizon trims the 1min tier, the
+    # 10-year horizons keep 1h/1d whole
+    ret = result["maintenance"]["retention"]
+    assert len(ret["1min"]) >= 1
+    assert ret["1h"] == [] and ret["1d"] == []
+    kept = [
+        d for d in os.listdir(os.path.join(out_dir, "1min"))
+        if d.startswith("bucket_date=")
+    ]
+    assert len(kept) == 2
