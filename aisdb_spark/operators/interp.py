@@ -117,6 +117,104 @@ def interp_time(df: DataFrame, step_seconds: int = 600) -> DataFrame:
     )
 
 
+def interp_time_expr(df: DataFrame, step_seconds: int = 600) -> DataFrame:
+    """Pure-expression twin of :func:`interp_time` — zero Python boundary.
+
+    Same semantics and bit-identical doubles (asserted in tests): the
+    two-point formula is evaluated in the same IEEE op order, timestamps
+    stay exact int64 µs. Shape: per-segment bounds → ``sequence`` grid
+    explode → union(samples, grid) → one window pass per conv for the
+    as-of prev/next sample (the union-window as-of idiom of
+    ``operators/asof.py``). Everything is JVM expression work inside
+    WholeStageCodegen: at cluster scale this removes the Arrow pipe the
+    applyInPandas version pays (see PLANS.md codec decomposition for what
+    that pipe costs), and all three exchanges hash on conv_id so the plan
+    reuses one exchange shape. Registry uses THIS version; the kernel
+    version remains as the numpy reference implementation.
+    """
+    from pyspark.sql import Window
+
+    step_us = int(step_seconds) * 1_000_000
+    base = df.select(
+        "conv_id",
+        "segment_id",
+        F.unix_micros("ts").alias("t"),
+        F.col("value").cast("double").alias("v"),
+        "turn_idx",
+    )
+    # dedup exact-duplicate timestamps keeping the last turn (interp.py:275-289)
+    wd = Window.partitionBy("conv_id", "segment_id", "t").orderBy(
+        F.desc("turn_idx")
+    )
+    samples = (
+        base.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "turn_idx")
+    )
+    # per-segment bounds; ≤1 distinct ts → dropped (aisdb/interp.py:98-100)
+    bounds = (
+        samples.groupBy("conv_id", "segment_id")
+        .agg(F.min("t").alias("t0"), F.max("t").alias("tn"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    # inclusive-end arange: k = 0..(tn-t0)//step (+1 when remainder ≠ 0)
+    k_max = ((F.col("tn") - F.col("t0")) / F.lit(step_us)).cast("bigint") + F.when(
+        (F.col("tn") - F.col("t0")) % step_us == 0, F.lit(0)
+    ).otherwise(F.lit(1))
+    grid = bounds.select(
+        "conv_id",
+        "segment_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), k_max)).alias("k"),
+        "t0",
+    ).select(
+        "conv_id",
+        "segment_id",
+        (F.col("t0") + F.col("k") * step_us).alias("t"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(0).alias("is_sample"),
+    )
+    both = samples.withColumn("is_sample", F.lit(1)).unionByName(grid)
+    w = Window.partitionBy("conv_id", "segment_id").orderBy(
+        "t", F.desc("is_sample")
+    )
+    sv = F.when(F.col("is_sample") == 1, F.col("v"))
+    st = F.when(F.col("is_sample") == 1, F.col("t"))
+    prev_v = F.last(sv, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_t = F.last(st, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_v = F.first(sv, ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    next_t = F.first(st, ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = (
+        both.withColumn("_pv", prev_v)
+        .withColumn("_pt", prev_t)
+        .withColumn("_nv", next_v)
+        .withColumn("_nt", next_t)
+        .filter(F.col("is_sample") == 0)
+    )
+    # identical op order to _grid_interp: pv + (nv-pv) * (t-pt) / dt
+    interp = F.when(
+        F.col("_nt").isNull() | (F.col("_nt") == F.col("_pt")), F.col("_pv")
+    ).otherwise(
+        F.col("_pv")
+        + (F.col("_nv") - F.col("_pv"))
+        * (F.col("t") - F.col("_pt"))
+        / (F.col("_nt") - F.col("_pt"))
+    )
+    return out.select(
+        "conv_id",
+        "segment_id",
+        F.timestamp_micros(F.col("t")).alias("ts"),
+        interp.alias("value"),
+    )
+
+
 def ewma(df: DataFrame, alpha: float = 0.3) -> DataFrame:
     """EWMA of the value series per conversation, in turn order.
 

@@ -580,9 +580,10 @@ FROM bothj""",
 def interp_time_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear gap-fill onto a 10-minute regular grid per (conv, segment)
     (aisdb/interp.py:57-118 semantics incl. inclusive-end arange grid,
-    len<=1 skip, boundary clamping)."""
+    len<=1 skip, boundary clamping). Pure-expression version — zero Python
+    boundary, bit-equal to the numpy kernel (tests/test_interp.py)."""
     segd = seg_mod.gap_split(_tv(spark, sf_dir), gap_seconds=3600)
-    return interp.interp_time(segd, step_seconds=600)
+    return interp.interp_time_expr(segd, step_seconds=600)
 
 
 def _ewma_oracle(alpha: float) -> str:

@@ -88,3 +88,18 @@ def test_ewma_matches_pandas(spark):
     )
     expected = pd.Series(vals, dtype="float64").ewm(alpha=0.3, adjust=True).mean()
     np.testing.assert_allclose([r.ewma_value for r in out], expected.to_numpy(), rtol=1e-12)
+
+
+def test_interp_time_expr_bit_equals_kernel(spark):
+    """The pure-expression interp (registry version) must be bit-identical
+    to the numpy reference kernel — same IEEE op order by construction."""
+    from aisdb_spark.operators import interp, segmentation
+    from aisdb_spark.queries import _tv
+    from tests.conftest import SF_SMALL
+
+    segd = segmentation.gap_split(_tv(spark, SF_SMALL), gap_seconds=3600)
+    a = interp.interp_time_expr(segd, 600)
+    b = interp.interp_time(segd, 600)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
