@@ -52,3 +52,44 @@ def test_all_operators_on_empty(spark):
     enc = codec.compress_conversations(tv)
     assert enc.count() == 0
     assert codec.decompress_conversations(enc).count() == 0
+
+
+def test_round2_modules_on_empty(spark, tmp_path):
+    """Upsert, maintenance, expression interp, receiver parse — empty in,
+    empty (or no-op) out, never raise."""
+    import datetime as dt
+
+    from aisdb_spark import maintenance
+    from aisdb_spark.operators import interp as interp_mod
+    from aisdb_spark.operators import segmentation
+    from aisdb_spark.streaming import receiver, upsert as ups
+
+    tv = _empty(spark).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    # expression interp on empty
+    segd = segmentation.gap_split(tv)
+    assert interp_mod.interp_time_expr(segd, 600).count() == 0
+    # upsert with an empty batch: no tier created, no affected dates
+    tier = str(tmp_path / "tier")
+    assert ups.upsert_batch(spark, tv, tier) == []
+    import os
+
+    assert not os.path.isdir(tier)
+    # cascade upsert with empty batch: coarser tiers untouched too
+    assert (
+        ups.upsert_batch_cascade(
+            spark, tv, tier, {"1h": str(tmp_path / "h")}
+        )
+        == 0
+    )
+    # maintenance over a directory that does not exist
+    assert maintenance.enforce_retention(
+        {"1min": str(tmp_path / "nope")}, {"1min": dt.date(2000, 1, 1)}
+    ) == {"1min": []}
+    assert maintenance.compact_tier(spark, str(tmp_path / "nope"))[
+        "compacted"
+    ] == 0
+    # receiver: malformed / empty lines parse to zero rows, not an error
+    lines = spark.createDataFrame(
+        [("",), ("not json",), ("{}",), ('{"event_id": null}',)], ["value"]
+    )
+    assert receiver.parse_event_lines(lines).count() == 0
