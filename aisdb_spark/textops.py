@@ -272,19 +272,28 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     candidate pairs (doc1 < doc2), then exact-Jaccard verified ≥ 0.5 on
     distinct 3-token shingle sets."""
     mh = with_minhash(docs).filter(F.col("mh0").isNotNull())
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        bands.append(
-            mh.select(
-                "doc_id",
+    # one explode pass instead of an LSH_BANDS-way unionByName: the union
+    # re-evaluated the signature aggregation per branch AND per self-join
+    # side; a single subtree lets both join sides reuse one exchange
+    # (same fix as simhash_near_pairs — see PLANS.md)
+    key_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("_", *[F.col(c) for c in cols]).alias("bkey"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * LSH_ROWS + r}")
+                        for r in range(LSH_ROWS)
+                    ],
+                ).alias("bkey"),
             )
-        )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
+            for b in range(LSH_BANDS)
+        ]
+    )
+    allb = mh.select("doc_id", F.explode(key_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
     left, right = allb.alias("l"), allb.alias("r")
     cand = (
         left.join(
@@ -415,12 +424,17 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     O(corpus/256). Verification is exact Jaccard on distinct shingle sets.
     """
     mh = with_minhash(docs).filter(F.col("mh0").isNotNull())
-    bands = None
-    for i in range(len(MINHASH_COEFFS)):
-        part = mh.select(
-            "doc_id", F.lit(i).alias("band"), F.col(f"mh{i}").alias("bkey")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # single explode pass (not an 8-way union) — one signature subtree,
+    # one exchange reused by both self-join sides (see PLANS.md)
+    key_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("bkey"))
+            for i in range(len(MINHASH_COEFFS))
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(key_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
