@@ -52,6 +52,9 @@ HEADLINE = [
     "streaming_rollup_1min",
     "streaming_user_sessions",
     "salted_rollup_1min",
+    "ngram_jaccard_pairs",
+    "ann_lsh_top10",
+    "lttb_64",
 ]
 
 
