@@ -1146,6 +1146,18 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ann_lsh_top10"] = _ann_lsh_oracle()
 
 
+@query("ann_ivf_top10", similarity.ivf_topk_oracle())
+def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (the brief's second scale path beside LSH): coarse
+    quantizer = 16 deterministic md5-selected seed vectors; assignment and
+    probe selection run in integer-quantized space (floor(x·2²⁰) — exact
+    int64 distances, bit-stable across engines and partition orders);
+    nprobe=4 lists exact-cosine reranked. The oracle recomputes seeds,
+    assignment, probes, and rerank wholly in DuckDB SQL."""
+    q = similarity.query_vector(spark, sf_dir, vec_id=0)
+    return similarity.ivf_topk(spark, sf_dir, q, k=10)
+
+
 @query("cosine_near_pairs", similarity.cosine_near_pairs_oracle(0.45))
 def cosine_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking

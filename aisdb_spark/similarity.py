@@ -226,3 +226,136 @@ e AS (SELECT vec_id, embedding, sqrt({nrm}) AS nrm FROM embeddings)
 SELECT c.vec1, c.vec2, ({dot}) / (e1.nrm * e2.nrm) AS cos
 FROM cand c JOIN e e1 ON c.vec1 = e1.vec_id JOIN e e2 ON c.vec2 = e2.vec_id
 WHERE ({dot}) / (e1.nrm * e2.nrm) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN (the second scale path named by the brief, next to LSH).
+# Coarse quantizer: K deterministic seed vectors (smallest md5(vec_id) —
+# reproducible in pure SQL, no iterative k-means); assignment + probe
+# selection run in INTEGER space (embeddings quantized to floor(x * 2^20))
+# so every distance is an exact int64 sum — bit-stable across partition
+# orders and engines, sidestepping float-sum non-associativity. Rerank is
+# the exact cosine fold. At 10^9 vectors the probe scans ~nprobe/K of the
+# table; assignment is one broadcast-literal pass (O(N·K) JVM codegen).
+# ---------------------------------------------------------------------------
+
+IVF_SCALE = 1 << 20
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+def _quant_expr(col: str, duck: bool) -> str:
+    if duck:
+        return (
+            f"list_transform({col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}) AS BIGINT))"
+        )
+    return (
+        f"transform({col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}) AS BIGINT))"
+    )
+
+
+def _int_l2_expr(a: str, b: str, duck: bool) -> str:
+    if duck:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"x -> (CAST(x[1] AS BIGINT) - CAST(x[2] AS BIGINT)) * "
+            f"(CAST(x[1] AS BIGINT) - CAST(x[2] AS BIGINT))), (p, q) -> p + q)"
+        )
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0L, (p, q) -> p + q)"
+    )
+
+
+def _int_vec_literal(vals) -> str:
+    return "array(" + ", ".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def ivf_seed_order(duck: bool) -> str:
+    cast = "VARCHAR" if duck else "STRING"
+    return f"md5(CAST(vec_id AS {cast})), vec_id"
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str, n_cent: int = IVF_K):
+    """[(cid, quantized int vector)] — dim-sized, deterministic order."""
+    emb = load_embeddings(spark, sf_dir)
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_cent)
+        .select(F.expr(_quant_expr("embedding", duck=False)).alias("qc"))
+        .collect()
+    )
+    return [(cid, [int(x) for x in r.qc]) for cid, r in enumerate(seeds)]
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, query: list[float], k: int = 10,
+    n_cent: int = IVF_K, nprobe: int = IVF_NPROBE,
+    exclude_vec_id: int | None = 0,
+) -> DataFrame:
+    """IVF-Flat top-k: integer assignment to the nearest seed centroid,
+    probe the ``nprobe`` centroids nearest the query, exact-cosine rerank."""
+    import math
+
+    cents = ivf_centroids(spark, sf_dir, n_cent)
+    dist_structs = ", ".join(
+        f"named_struct('dist', {_int_l2_expr('qv', _int_vec_literal(c), duck=False)}, "
+        f"'cid', {cid})"
+        for cid, c in cents
+    )
+    assign = f"array_min(array({dist_structs})).cid"
+    emb = load_embeddings(spark, sf_dir).withColumn(
+        "qv", F.expr(_quant_expr("embedding", duck=False))
+    ).withColumn("cl", F.expr(assign))
+    # probe selection in exact python ints (same IEEE mul + floor as SQL)
+    qq = [int(math.floor(float(x) * IVF_SCALE)) for x in query]
+    dists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qq, c)), cid) for cid, c in cents
+    )
+    probe = [cid for _, cid in dists[:nprobe]]
+    cos = F.expr(cosine_expr("embedding", _vec_literal(query, duck=False), duck=False))
+    out = emb.filter(F.col("cl").isin(probe)).select(
+        "vec_id", "label", cos.alias("cos")
+    )
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return out.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def ivf_topk_oracle(
+    k: int = 10, n_cent: int = IVF_K, nprobe: int = IVF_NPROBE,
+    exclude_vec_id: int | None = 0,
+) -> str:
+    """DuckDB twin: seeds, integer assignment, probe set, and rerank all in
+    SQL over the same parquet — quantization makes every comparison exact."""
+    l2 = _int_l2_expr("b.qv", "s.qc", duck=True)
+    l2q = _int_l2_expr("q.qq", "s.qc", duck=True)
+    cos = cosine_expr("a.embedding", "qe", duck=True)
+    where = f"AND a.vec_id != {exclude_vec_id}" if exclude_vec_id is not None else ""
+    return f"""WITH seeds AS (
+  SELECT {_quant_expr('embedding', True)} AS qc,
+    row_number() OVER (ORDER BY {ivf_seed_order(True)}) - 1 AS cid
+  FROM embeddings ORDER BY {ivf_seed_order(True)} LIMIT {n_cent}
+),
+base AS (
+  SELECT vec_id, label, embedding, {_quant_expr('embedding', True)} AS qv
+  FROM embeddings
+),
+assign AS (
+  SELECT b.vec_id, b.label, b.embedding, s.cid,
+    row_number() OVER (PARTITION BY b.vec_id ORDER BY {l2}, s.cid) AS rn
+  FROM base b CROSS JOIN seeds s
+),
+q AS (
+  SELECT embedding AS qe, {_quant_expr('embedding', True)} AS qq
+  FROM embeddings WHERE vec_id = 0
+),
+probes AS (
+  SELECT s.cid FROM seeds s CROSS JOIN q ORDER BY {l2q}, s.cid LIMIT {nprobe}
+)
+SELECT a.vec_id, a.label, {cos} AS cos
+FROM assign a CROSS JOIN q
+WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probes) {where}
+ORDER BY cos DESC, a.vec_id ASC LIMIT {k}"""

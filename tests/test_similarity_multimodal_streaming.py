@@ -99,3 +99,30 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     assert "first_cents" in streamed.columns and "last_cents" in streamed.columns
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_ivf_recall_and_pruning(spark):
+    """IVF-Flat: probe scans a strict subset (nprobe/K of the table in
+    expectation) and still recovers a meaningful share of the exact top-10;
+    assignment is integer-exact so the partition order can't change it."""
+    q = similarity.query_vector(spark, SF_SMALL, vec_id=0)
+    exact = {
+        r.vec_id for r in similarity.brute_force_topk(spark, SF_SMALL, q, 10).collect()
+    }
+    approx = {
+        r.vec_id for r in similarity.ivf_topk(spark, SF_SMALL, q, 10).collect()
+    }
+    assert len(exact & approx) / 10 >= 0.2
+    # pruning: the probed subset is strictly smaller than the table
+    cents = similarity.ivf_centroids(spark, SF_SMALL)
+    emb = similarity.load_embeddings(spark, SF_SMALL)
+    dist_structs = ", ".join(
+        f"named_struct('dist', {similarity._int_l2_expr('qv', similarity._int_vec_literal(c), duck=False)}, 'cid', {cid})"
+        for cid, c in cents
+    )
+    assigned = emb.withColumn(
+        "qv", F.expr(similarity._quant_expr("embedding", duck=False))
+    ).withColumn("cl", F.expr(f"array_min(array({dist_structs})).cid"))
+    sizes = {r.cl: r.n for r in assigned.groupBy("cl").count().withColumnRenamed("count", "n").collect()}
+    assert sum(sizes.values()) == emb.count()
+    assert len(sizes) > similarity.IVF_NPROBE  # more lists than probed
