@@ -59,3 +59,69 @@ def test_spark_submit_py_files(tmp_path):
         if d.startswith("bucket_date=")
     ]
     assert len(kept) == 2
+
+
+def test_spark_submit_upsert_stream(spark, tmp_path):
+    """The streaming upsert job under real spark-submit --py-files: two
+    drains (the second sees only the late wave), tiers converge to the
+    batch cascade of the full input."""
+    import pyspark
+    from pyspark.sql import functions as F
+
+    from aisdb_spark.operators import rollup
+    from aisdb_spark.sources.transcripts import load_transcripts, with_value
+
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    zip_path = package_zip(str(tmp_path / "aisdb_spark.zip"))
+    landing = str(tmp_path / "landing")
+    tiers = str(tmp_path / "tiers")
+    ck = str(tmp_path / "ck")
+    tv = with_value(load_transcripts(spark, SF_SMALL)).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    ).cache()
+
+    def submit():
+        env = dict(
+            os.environ, SPARK_GRAFT_LOCAL_DIR="/dev/shm/spark-local-upsert"
+        )
+        proc = subprocess.run(
+            [
+                spark_submit,
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.sql.session.timeZone=UTC",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                "jobs/run_upsert_stream.py",
+                "--landing", landing,
+                "--tiers", tiers,
+                "--checkpoint", ck,
+                "--once",
+            ],
+            capture_output=True, text=True, timeout=420, cwd="/root/repo",
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    tv.filter(F.pmod("turn_idx", F.lit(2)) == 0).write.parquet(f"{landing}/w1")
+    first = submit()
+    assert first["batches"] >= 1
+    tv.filter(F.pmod("turn_idx", F.lit(2)) == 1).write.parquet(f"{landing}/w2")
+    second = submit()
+    assert second["batches"] >= 1
+    exp_1m = rollup.temporal_bin(tv, "minute")
+    got_1m = spark.read.parquet(f"{tiers}/1min").select(*exp_1m.columns)
+    assert got_1m.exceptAll(exp_1m).count() == 0
+    assert exp_1m.exceptAll(got_1m).count() == 0
+    exp_1d = rollup.tier_from_finer(
+        rollup.tier_from_finer(exp_1m, "hour"), "day"
+    )
+    got_1d = spark.read.parquet(f"{tiers}/1d").select(*exp_1d.columns)
+    assert got_1d.exceptAll(exp_1d).count() == 0
+    assert exp_1d.exceptAll(got_1d).count() == 0
