@@ -749,9 +749,18 @@ def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computed arithmetically ((1023+e)<<52 | mantissa); leading/trailing zero
 # counts via bin() string trims. Each stream pads to a byte boundary
 # (np.packbits), hence the (bits+7)//8.
+# PRECONDITION (guarded, fails loudly): the float64 bit-pattern arithmetic
+# below assumes 0 <= vi < 2^53 (exponent from the leading-1 position, no
+# sign bit, exact-integer mantissa). VALUE_EXPR satisfies this today; if it
+# ever produces a negative or >= 2^53 value the error() below aborts the
+# oracle instead of silently hash-mismatching.
 _GORILLA_SIZE_ORACLE = f"""{_PRELUDE},
 ord_pts AS (
-  SELECT conv_id, turn_idx, epoch_us(ts) AS tus, CAST(value AS BIGINT) AS vi
+  SELECT conv_id, turn_idx, epoch_us(ts) AS tus,
+    CASE WHEN CAST(value AS BIGINT) < 0
+           OR CAST(value AS BIGINT) >= (1::BIGINT << 53)
+         THEN CAST(error('gorilla size oracle precondition: value outside [0, 2^53)') AS BIGINT)
+         ELSE CAST(value AS BIGINT) END AS vi
   FROM tv
 ),
 fb AS (
@@ -1463,7 +1472,10 @@ def streaming_rollup_1min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream → watermarked 1-minute window → availableNow drain). The
     order-dependent first/last measures are carried as min_by/max_by over
     the total event order (ts, event_id), so micro-batch boundaries cannot
-    change the result; the oracle recomputes them batch-side in DuckDB."""
+    change the result; the oracle recomputes them batch-side in DuckDB.
+    Drained scalably (round 3): update-mode ``foreachBatch`` replaces
+    updated keys in a day-partitioned parquet tier and the result is the
+    tier read-back — no complete-mode memory sink."""
     from aisdb_spark.streaming import rollup_stream
 
     return rollup_stream.drained_rollup_1min(
@@ -1474,14 +1486,14 @@ def streaming_rollup_1min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_user_sessions",
     """WITH flagged AS (
-  SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents,
+  SELECT user_id, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
     CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
     THEN 1 ELSE 0 END AS flag
   FROM events
 ),
 sess AS (
-  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
     ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
@@ -1491,12 +1503,18 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
 FROM sess GROUP BY user_id, sid""",
 )
 def streaming_user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native streaming sessionization (session_window + merging state
-    store), drained to completion — the streaming twin of user_sessions.
-    session_window merges on gap STRICTLY < 30 min, so the oracle splits on
-    >= 1800000000 µs (the batch user_sessions query keeps AISdb's > rule;
-    both are exact, the boundary case differs and the oracles encode each
-    side's rule)."""
+    """Streaming sessionization drained scalably: raw events stream through
+    ``foreachBatch`` → per-micro-batch sessionization → algebraic interval
+    merge into a day-partitioned tier (streaming/rollup_stream.py) — the
+    Spark expression of the reference receiver's insert-time absorption
+    (``aisdb/receiver.py:6-57``), with tier state on disk instead of a
+    driver memory sink. Uses session_window's gap rule (split on
+    >= 1800000000 µs; the batch user_sessions query keeps AISdb's > rule —
+    both exact, each oracle encodes its side). The native session_window
+    operator itself is ``stream_user_sessions``, append-mode
+    pytest-covered (update mode is unsupported for session windows and
+    append withholds the un-finalized tail, so it can't drain to
+    completion)."""
     from aisdb_spark.streaming import rollup_stream
 
     return rollup_stream.drained_user_sessions(

@@ -17,11 +17,15 @@ boundaries cannot change the result (no custom state needed; this replaces
 round-1's dropped first/last). A drained stream equals the batch
 aggregation of the same input on ALL columns — tested in
 tests/test_similarity_multimodal_streaming.py.
+
+Draining (round 3): update-mode ``foreachBatch`` upserts into a
+day-partitioned parquet tier, read back after ``availableNow``
+termination — no complete-mode memory sink anywhere, so neither driver
+nor executor ever materializes the full result (the round-2 harness-only
+memory drain is gone).
 """
 
 from __future__ import annotations
-
-import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,31 +98,101 @@ def rollup_measures(events: DataFrame) -> DataFrame:
     )
 
 
-def drain_to_memory(agg: DataFrame, name: str = "stream_out") -> None:
-    """Drive the streaming query to completion over the available files
-    (availableNow) into a memory sink — the test/drain harness."""
+# ---------------------------------------------------------------------------
+# Scalable drains: update-mode foreachBatch into a day-partitioned parquet
+# tier, then read the tier back. Replaces round-2's complete-mode memory
+# sinks — state lives in the streaming state store (watermark-bounded) and
+# the output lives on disk partitioned by bucket_date, so neither the
+# driver nor any executor ever holds the whole result (the reference's
+# continuous insert loop, aisdb/receiver.py:6-57, never accumulates
+# either). Each micro-batch rewrites only the day partitions it touches
+# (dynamic partition overwrite), so per-batch cost ∝ updated keys.
+# ---------------------------------------------------------------------------
+
+
+def _tier_nonempty(tier_dir: str) -> bool:
+    import os
+
+    return os.path.isdir(tier_dir) and any(
+        not f.startswith("_") for f in os.listdir(tier_dir)
+    )
+
+
+def upsert_rollup_batch(
+    spark: SparkSession, batch: DataFrame, tier_dir: str,
+    epoch_id: int | None = None,
+) -> None:
+    """Replace-by-key upsert for one update-mode micro-batch of windowed
+    aggregates: each delivered (bucket_start, user_id) row is the CURRENT
+    state of that key, so the merge is delete-matching-key + insert — no
+    algebra needed (the state store already did it). Keys never change
+    their bucket_date, so dynamic overwrite of the touched days is exact.
+    Epoch replays are skipped via the tier's _epoch.json watermark."""
+    from aisdb_spark.streaming.upsert import _last_applied_epoch, _record_epoch
+
+    if epoch_id is not None and epoch_id <= _last_applied_epoch(tier_dir):
+        return
+    new = batch.withColumn("bucket_date", F.to_date("bucket_start"))
+    dates = [r[0] for r in new.select("bucket_date").distinct().collect()]
+    if not dates:
+        return
+    out = new
+    if _tier_nonempty(tier_dir):
+        existing = spark.read.parquet(tier_dir).filter(
+            F.col("bucket_date").isin(dates)  # partition-pruned scan
+        )
+        keep = existing.join(
+            new.select("bucket_start", "user_id"),
+            on=["bucket_start", "user_id"],
+            how="left_anti",
+        )
+        out = keep.unionByName(new)
+    out = out.localCheckpoint(eager=True)  # don't read our own target
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket_date")
+        .parquet(tier_dir)
+    )
+    if epoch_id is not None:
+        _record_epoch(tier_dir, epoch_id)
+
+
+_ROLLUP_TIER_COLS = [
+    "bucket_start",
+    "user_id",
+    "n_events",
+    "sum_cents",
+    "min_cents",
+    "max_cents",
+    "first_cents",
+    "last_cents",
+]
+
+
+def drained_rollup_1min(
+    spark: SparkSession, landing: str, glob: str | None = None,
+    out_base: str | None = None,
+) -> DataFrame:
+    """Run the full streaming path to completion through the update-mode
+    foreachBatch tier upsert and return the tier read-back (the
+    driver-query surface for SURVEY §2.8)."""
+    import tempfile
+
+    base = out_base or tempfile.mkdtemp(prefix="spark_stream_rollup_")
+    tier, ck = f"{base}/tier", f"{base}/ck"
     q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
+        stream_rollup_1min(spark, landing, glob=glob)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda b, e: upsert_rollup_batch(spark, b, tier, epoch_id=e)
+        )
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-
-
-_drain_seq = itertools.count()
-
-
-def drained_rollup_1min(
-    spark: SparkSession, landing: str, glob: str | None = None
-) -> DataFrame:
-    """Run the full streaming path to completion and return the result as a
-    batch DataFrame (the driver-query surface for SURVEY §2.8). Unique sink
-    name per call so repeat invocations in one session don't collide."""
-    name = f"stream_rollup_{next(_drain_seq)}"
-    drain_to_memory(stream_rollup_1min(spark, landing, glob=glob), name)
-    return spark.table(name)
+    return spark.read.parquet(tier).select(*_ROLLUP_TIER_COLS)
 
 
 def stream_user_sessions(
@@ -155,18 +229,170 @@ def stream_user_sessions(
     )
 
 
+def sessionize_events(events: DataFrame) -> DataFrame:
+    """Batch-side sessionization of raw events with session_window's rule
+    (a gap >= 30 minutes splits; strictly-under merges) over the total
+    per-user order (ts, event_id). Applied per micro-batch; the algebraic
+    interval merge below makes the composition exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flag = F.when(gap >= 1_800_000_000, F.lit(1)).otherwise(F.lit(0))
+    sess = events.withColumn(
+        "cents", F.expr("CAST(floor(value * 100) AS BIGINT)")
+    ).withColumn(
+        "sid", F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .drop("sid")
+    )
+
+
+def merge_session_partials(parts: DataFrame) -> DataFrame:
+    """Algebraic merge of per-batch session partials: per user, sort by
+    interval and start a new group only when a partial's start is >= 30
+    minutes past the running max end of everything before it. A partial is
+    a contiguous run of events, so the interval-gap rule over partials is
+    EXACTLY the event-gap rule over the union — sessionize(A ∪ B) ==
+    merge(sessionize(A) ∪ sessionize(B)) for any split (pinned by
+    tests/test_similarity_multimodal_streaming.py), the property that
+    makes the stored tier upsertable. Tie order between equal intervals
+    cannot change the grouping: overlapping partials always merge."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start", "session_end")
+    prev_end = F.max("session_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_grp = F.when(
+        prev_end.isNull()
+        | (
+            F.unix_micros(F.col("session_start")) - F.unix_micros(prev_end)
+            >= 1_800_000_000
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    g = parts.withColumn("ng", new_grp).withColumn(
+        "grp", F.sum("ng").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .drop("grp")
+    )
+
+
+def upsert_sessions_batch(
+    spark: SparkSession, partials: DataFrame, tier_dir: str,
+    epoch_id: int | None = None,
+) -> None:
+    """Merge one micro-batch of session PARTIALS into the day-partitioned
+    session tier: union the new partials with the existing sessions of the
+    touched days (±1) and re-run the algebraic interval merge — the
+    session twin of upsert.upsert_batch's rollup-partial merge, and the
+    Spark expression of the reference's insert-time absorption
+    (aisdb/database/decoder.py:199-259 — late rows just insert, the
+    table's keys absorb them).
+
+    Partitioning: a merge can pull a session's start into an earlier day,
+    so the touched days are read ±1 (assumes a session spans < 1 day —
+    the same horizon a watermark would impose) and any read partition
+    left empty is explicitly dropped (dynamic overwrite cannot delete a
+    partition it writes no rows into). Per-batch cost ∝ batch sessions +
+    existing sessions of the touched days; never table-sized."""
+    import datetime as dt
+    import shutil
+
+    from aisdb_spark.streaming.upsert import _last_applied_epoch, _record_epoch
+
+    if epoch_id is not None and epoch_id <= _last_applied_epoch(tier_dir):
+        return
+    new = partials.withColumn("bucket_date", F.to_date("session_start"))
+    batch_dates = {r[0] for r in new.select("bucket_date").distinct().collect()}
+    if not batch_dates:
+        return
+    read_dates = sorted(
+        {d + dt.timedelta(days=off) for d in batch_dates for off in (-1, 0, 1)}
+    )
+    merged = new.select(*_SESSION_TIER_COLS)
+    if _tier_nonempty(tier_dir):
+        existing = spark.read.parquet(tier_dir).filter(
+            F.col("bucket_date").isin(read_dates)  # partition-pruned scan
+        )
+        merged = merge_session_partials(
+            existing.select(*_SESSION_TIER_COLS).unionByName(merged)
+        )
+    out = merged.withColumn(
+        "bucket_date", F.to_date("session_start")
+    ).localCheckpoint(eager=True)  # don't read our own target
+    out_dates = {r[0] for r in out.select("bucket_date").distinct().collect()}
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket_date")
+        .parquet(tier_dir)
+    )
+    for d in read_dates:  # emptied partitions: metadata-sized cleanup
+        if d not in out_dates:
+            shutil.rmtree(f"{tier_dir}/bucket_date={d}", ignore_errors=True)
+    if epoch_id is not None:
+        _record_epoch(tier_dir, epoch_id)
+
+
+_SESSION_TIER_COLS = [
+    "user_id",
+    "session_start",
+    "session_end",
+    "n_events",
+    "sum_cents",
+]
+
+
 def drained_user_sessions(
-    spark: SparkSession, landing: str, glob: str | None = None
+    spark: SparkSession, landing: str, glob: str | None = None,
+    out_base: str | None = None,
 ) -> DataFrame:
-    """Run streaming sessionization to completion → batch DataFrame."""
-    name = f"stream_sessions_{next(_drain_seq)}"
+    """Run streaming sessionization to completion scalably and return the
+    tier read-back. Spark does not support update output mode for
+    session_window aggregations and append mode withholds every session
+    the watermark hasn't finalized (the drain would lose the tail — see
+    tests), so the scalable drain streams RAW events through foreachBatch:
+    sessionize each micro-batch, algebraically interval-merge into the
+    day-partitioned tier. State is the tier itself (disk, partitioned),
+    not driver memory; the native session_window operator remains
+    :func:`stream_user_sessions` for continuous pipelines, append-mode
+    pytest-covered."""
+    import tempfile
+
+    normalize_session(spark)
+    base = out_base or tempfile.mkdtemp(prefix="spark_stream_sess_")
+    tier, ck = f"{base}/tier", f"{base}/ck"
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    src = ensure_ltz(reader.parquet(landing))
     q = (
-        stream_user_sessions(spark, landing, glob=glob)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
+        src.writeStream.foreachBatch(
+            lambda b, e: upsert_sessions_batch(
+                spark, sessionize_events(b), tier, epoch_id=e
+            )
+        )
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(tier).select(*_SESSION_TIER_COLS)

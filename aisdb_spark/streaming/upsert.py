@@ -15,10 +15,17 @@ equivalent implemented here:
   written back with **dynamic partition overwrite** — untouched days are
   never rewritten, and the write is overwrite-not-append so a replayed
   batch converges to the same bytes (SURVEY §7 hard-point (c));
-- duplicates cannot double-count because the file-stream source is
-  exactly-once under a checkpointLocation (processed files are logged);
-  the reference's PK-dedup contract maps to "a (conv_id, turn_idx) turn is
-  delivered once".
+- replays cannot double-count: the file-stream source skips
+  already-processed files under a checkpointLocation, and the tier records
+  the last applied micro-batch epoch in ``_epoch.json`` so a replayed
+  epoch (crash after tier write, before checkpoint commit) is skipped
+  idempotently. The guarantee is at-least-once delivery + idempotent
+  apply — effectively-once for the tier, except for a crash landing in
+  the narrow window between the tier write finishing and the atomic
+  ``_epoch.json`` rename; closing that window needs a transactional table
+  format (the Iceberg ``overwritePartitions`` gate in sources/iceberg.py).
+  The reference's PK-dedup contract maps to "a (conv_id, turn_idx) turn
+  is applied once".
 
 Invariant (tested): after draining ANY split of the input into micro-batch
 files — including late files that revisit old buckets — the stored tier is
@@ -33,6 +40,7 @@ the dynamic overwrite becomes ``overwritePartitions()`` on the same keys.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,9 +91,37 @@ def merge_partials(parts: DataFrame) -> DataFrame:
     )
 
 
-def upsert_batch(spark: SparkSession, turns: DataFrame, tier_dir: str) -> list:
+def _last_applied_epoch(tier_dir: str) -> int:
+    try:
+        with open(os.path.join(tier_dir, "_epoch.json")) as f:
+            return json.load(f)["last_epoch"]
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _record_epoch(tier_dir: str, epoch_id: int) -> None:
+    """Atomically (tmp + rename) record the applied epoch beside the tier."""
+    tmp = os.path.join(tier_dir, "_epoch.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"last_epoch": epoch_id}, f)
+    os.replace(tmp, os.path.join(tier_dir, "_epoch.json"))
+
+
+def upsert_batch(
+    spark: SparkSession,
+    turns: DataFrame,
+    tier_dir: str,
+    epoch_id: int | None = None,
+) -> list:
     """Merge one batch of raw turns into the partial-1min tier at
-    ``tier_dir`` (day-partitioned parquet). Returns the affected days."""
+    ``tier_dir`` (day-partitioned parquet). Returns the affected days.
+
+    When ``epoch_id`` is given (the foreachBatch micro-batch id, strictly
+    increasing per checkpoint), an epoch at or below the tier's recorded
+    ``_epoch.json`` watermark is skipped — the idempotent-apply half of
+    the effectively-once contract (see module docstring)."""
+    if epoch_id is not None and epoch_id <= _last_applied_epoch(tier_dir):
+        return []
     newp = partial_1min(turns).withColumn(
         "bucket_date", F.to_date("bucket_start")
     )
@@ -106,12 +142,18 @@ def upsert_batch(spark: SparkSession, turns: DataFrame, tier_dir: str) -> list:
         ).withColumn("bucket_date", F.to_date("bucket_start"))
     # truncate lineage so the overwrite below doesn't read its own target
     merged = merged.localCheckpoint(eager=True)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         merged.write.mode("overwrite")
+        # write-scoped dynamic overwrite: only the bucket_date partitions
+        # present in `merged` are replaced, and the shared session conf is
+        # untouched (a session-level set would silently change later
+        # static overwrites, e.g. checkpoint/maintenance writes)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket_date")
         .parquet(tier_dir)
     )
+    if epoch_id is not None:
+        _record_epoch(tier_dir, epoch_id)
     return dates
 
 
@@ -124,9 +166,13 @@ def stream_upsert_1min(
     glob: str | None = None,
 ) -> None:
     """Drain a landing directory of raw-turn parquet files into the tier
-    via ``foreachBatch`` upserts (availableNow). ``checkpoint_dir`` makes
-    ingestion exactly-once across restarts — already-processed files are
-    skipped on resume, so a killed run re-converges to identical bytes."""
+    via ``foreachBatch`` upserts (availableNow). ``checkpoint_dir`` plus
+    the tier's ``_epoch.json`` watermark make resume effectively-once:
+    already-processed files are skipped by the source and a replayed
+    micro-batch (crash between tier write and checkpoint commit) is
+    skipped by the epoch guard, so a killed run re-converges to identical
+    bytes — modulo the narrow commit window documented in the module
+    docstring."""
     from aisdb_spark.sources.normalize import ensure_ltz, normalize_session
 
     normalize_session(spark)
@@ -138,7 +184,7 @@ def stream_upsert_1min(
     src = ensure_ltz(reader.parquet(landing_dir))
     q = (
         src.writeStream.foreachBatch(
-            lambda batch, _epoch: upsert_batch(spark, batch, tier_dir)
+            lambda batch, epoch: upsert_batch(spark, batch, tier_dir, epoch_id=epoch)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -166,7 +212,6 @@ def refresh_coarser(
     public = read_tier_public(spark, tier_1min_dir).filter(
         F.to_date("bucket_start").isin(dates)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     upstream = public
     for unit, out_dir in (("hour", coarser_dirs.get("1h")), ("day", coarser_dirs.get("1d"))):
         if out_dir is None:
@@ -175,7 +220,12 @@ def refresh_coarser(
             "bucket_date", F.to_date("bucket_start")
         )
         tier = tier.localCheckpoint(eager=True)
-        tier.write.mode("overwrite").partitionBy("bucket_date").parquet(out_dir)
+        (
+            tier.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_date")
+            .parquet(out_dir)
+        )
         upstream = tier.drop("bucket_date")
 
 
@@ -184,10 +234,13 @@ def upsert_batch_cascade(
     turns: DataFrame,
     tier_1min_dir: str,
     coarser_dirs: dict[str, str],
+    epoch_id: int | None = None,
 ) -> int:
     """One micro-batch: upsert the 1min tier, then refresh the coarser
-    tiers for the affected days only. Returns affected-day count."""
-    dates = upsert_batch(spark, turns, tier_1min_dir)
+    tiers for the affected days only. Returns affected-day count. A
+    replayed epoch skips the 1min upsert AND the coarser refresh (the
+    coarser tiers derive from the unchanged 1min rows)."""
+    dates = upsert_batch(spark, turns, tier_1min_dir, epoch_id=epoch_id)
     refresh_coarser(spark, tier_1min_dir, coarser_dirs, dates)
     return len(dates)
 

@@ -5,11 +5,13 @@
         --tiers /data/tiers --checkpoint /data/ck [--once]
 
 Drains new raw-turn parquet files from the landing directory through the
-exactly-once ``foreachBatch`` upsert into the mergeable-partial 1min tier,
-then refreshes 1h/1d for the affected days only (streaming/upsert.py).
+``foreachBatch`` upsert into the mergeable-partial 1min tier, then
+refreshes 1h/1d for the affected days only (streaming/upsert.py).
 ``--once`` uses availableNow (drain-and-exit — cron-able); without it the
 stream runs continuously with a processingTime trigger. A killed run
-resumes from the checkpoint with no duplicates and no missed files — the
+resumes from the checkpoint with no missed files and with replayed
+micro-batches skipped by the tier's epoch watermark (effectively-once;
+see streaming/upsert.py for the one narrow crash window) — the
 deployment surface of the late-data path (reference precedent: the
 receiver's continuous insert loop, ``aisdb/receiver.py:6-57``, with
 PK-absorbed late data, ``aisdb/database/decoder.py:199-259``).
@@ -60,8 +62,10 @@ def main() -> None:
 
     n_batches = {"n": 0, "days": 0}
 
-    def _apply(batch, _epoch):
-        days = ups.upsert_batch_cascade(spark, batch, tier_1min, coarser)
+    def _apply(batch, epoch):
+        days = ups.upsert_batch_cascade(
+            spark, batch, tier_1min, coarser, epoch_id=epoch
+        )
         n_batches["n"] += 1
         n_batches["days"] += days
 

@@ -87,9 +87,10 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
     shutil.copy(f"{SF_SMALL}/events.parquet", landing / "events.parquet")
-    agg = rollup_stream.stream_rollup_1min(spark, str(landing))
-    rollup_stream.drain_to_memory(agg, "s1")
-    streamed = spark.sql("SELECT * FROM s1")
+    # full path: update-mode foreachBatch tier upsert + tier read-back
+    streamed = rollup_stream.drained_rollup_1min(
+        spark, str(landing), out_base=str(tmp_path / "out")
+    )
     # identical aggregation applied as a plain batch job — ALL columns,
     # including the order-dependent first/last (min_by/max_by over the
     # total (ts, event_id) order)
@@ -99,6 +100,150 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     assert "first_cents" in streamed.columns and "last_cents" in streamed.columns
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_upsert_rollup_batch_replaces_keys(spark, tmp_path):
+    """Update-mode semantics: a later batch's row for an existing
+    (bucket_start, user_id) key REPLACES the stored row (the state store
+    already merged; the tier must not re-aggregate), and untouched keys
+    survive. Simulates two update-mode deliveries by hand."""
+    from aisdb_spark.streaming import rollup_stream
+
+    tier = str(tmp_path / "tier")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").cache()
+    half = rollup_stream.rollup_measures(ev.filter(F.col("event_id") % 2 == 0))
+    full = rollup_stream.rollup_measures(ev)
+    rollup_stream.upsert_rollup_batch(spark, half, tier, epoch_id=0)
+    # second delivery: the CURRENT state of every key the odd half touches
+    touched = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.date_trunc("minute", "ts").alias("bucket_start"), "user_id"
+        )
+        .distinct()
+    )
+    rollup_stream.upsert_rollup_batch(
+        spark, full.join(touched, ["bucket_start", "user_id"]), tier, epoch_id=1
+    )
+    got = spark.read.parquet(tier).select(*rollup_stream._ROLLUP_TIER_COLS)
+    # keys never touched by odd events keep their half-batch row; all other
+    # keys must equal the full aggregate → union of both, keyed replacement
+    exp = full.join(touched, ["bucket_start", "user_id"]).unionByName(
+        half.join(touched, ["bucket_start", "user_id"], "left_anti")
+    ).select(*rollup_stream._ROLLUP_TIER_COLS)
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # replayed epoch is a no-op
+    rollup_stream.upsert_rollup_batch(spark, half, tier, epoch_id=1)
+    again = spark.read.parquet(tier).select(*rollup_stream._ROLLUP_TIER_COLS)
+    assert again.exceptAll(exp).count() == 0 and exp.exceptAll(again).count() == 0
+
+
+def test_upsert_sessions_batch_merge_moves_partition(spark, tmp_path):
+    """A late partial that merges a session back into the previous day
+    must relocate the merged row AND drop the emptied bucket_date
+    partition (dynamic overwrite cannot delete a partition it writes
+    nothing into)."""
+    import datetime as dt
+    import os
+
+    from aisdb_spark.streaming import rollup_stream
+
+    tier = str(tmp_path / "tier")
+
+    def sess_df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, session_start timestamp, session_end timestamp,"
+            " n_events long, sum_cents long"
+        )
+
+    d1, d2 = dt.datetime(2025, 3, 1, 23, 50), dt.datetime(2025, 3, 2, 0, 10)
+    rollup_stream.upsert_sessions_batch(
+        spark, sess_df([(7, d2, d2 + dt.timedelta(minutes=10), 3, 30)]),
+        tier, epoch_id=0,
+    )
+    assert os.path.isdir(f"{tier}/bucket_date=2025-03-02")
+    # late partial on day 1, within 30 min of the day-2 session → one
+    # merged session starting on day 1
+    rollup_stream.upsert_sessions_batch(
+        spark, sess_df([(7, d1, d1 + dt.timedelta(minutes=5), 2, 20)]),
+        tier, epoch_id=1,
+    )
+    got = spark.read.parquet(tier).select(*rollup_stream._SESSION_TIER_COLS)
+    assert got.count() == 1
+    row = got.first()
+    assert (row.user_id, row.n_events, row.sum_cents) == (7, 5, 50)
+    assert (row.session_start, row.session_end) == (
+        d1, d2 + dt.timedelta(minutes=10)
+    )
+    assert not os.path.isdir(f"{tier}/bucket_date=2025-03-02")
+    # a different user's session on day 2 is untouched by user 7's merges
+    rollup_stream.upsert_sessions_batch(
+        spark, sess_df([(9, d2, d2 + dt.timedelta(minutes=5), 1, 10)]),
+        tier, epoch_id=2,
+    )
+    assert spark.read.parquet(tier).count() == 2
+    # replayed epoch is a no-op
+    rollup_stream.upsert_sessions_batch(
+        spark, sess_df([(9, d2, d2 + dt.timedelta(minutes=5), 1, 10)]),
+        tier, epoch_id=2,
+    )
+    assert spark.read.parquet(tier).count() == 2
+
+
+def test_session_partial_merge_is_split_invariant(spark):
+    """sessionize(A ∪ B) == merge(sessionize(A) ∪ sessionize(B)) for an
+    adversarial split (event_id parity — every session interleaves), the
+    algebra the session tier's upsert rests on."""
+    from aisdb_spark.streaming import rollup_stream
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").cache()
+    whole = rollup_stream.sessionize_events(ev)
+    a = rollup_stream.sessionize_events(ev.filter(F.col("event_id") % 2 == 0))
+    b = rollup_stream.sessionize_events(ev.filter(F.col("event_id") % 2 == 1))
+    merged = rollup_stream.merge_session_partials(a.unionByName(b))
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_session_window_append_emits_finalized_prefix(spark, tmp_path):
+    """Native session_window in APPEND mode: every emitted session matches
+    the batch twin exactly, and the only withheld rows are sessions the
+    final watermark hasn't closed (end within watermark+gap of max ts) —
+    the documented reason the registry drain sessionizes per micro-batch
+    instead."""
+    import shutil
+
+    from aisdb_spark.streaming import rollup_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", landing / "events.parquet")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        rollup_stream.stream_user_sessions(spark, str(landing))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_cents"
+    )
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    expected = rollup_stream.sessionize_events(ev)
+    # emitted ⊆ expected, value-exact
+    assert emitted.exceptAll(expected).count() == 0
+    # withheld = only not-yet-finalized tail sessions
+    import datetime as dt
+
+    mx = ev.agg(F.max("ts")).first()[0]
+    horizon = mx - dt.timedelta(minutes=40)  # watermark 10m + gap 30m
+    missing = expected.exceptAll(emitted)
+    assert missing.filter(F.col("session_end") < horizon).count() == 0
 
 
 def test_ivf_recall_and_pruning(spark):

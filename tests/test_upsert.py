@@ -115,6 +115,26 @@ def test_upsert_tier_scan_is_partition_pruned(spark, tmp_path):
     assert pruned.count() < spark.read.parquet(tier).count()
 
 
+def test_replayed_epoch_is_skipped(spark, tmp_path):
+    """The effectively-once contract's idempotent-apply half: re-applying a
+    micro-batch with an epoch id at or below the tier's _epoch.json
+    watermark must change nothing (the crash-replay case ADVICE r2 flagged
+    — foreachBatch re-delivers an epoch whose tier write already landed)."""
+    tv = _tv(spark).cache()
+    tier = str(tmp_path / "tier")
+    assert ups.upsert_batch(spark, tv, tier, epoch_id=0) != []
+    before = sorted(map(tuple, ups.read_tier_public(spark, tier).collect()))
+    # replay the same epoch (and an older one): both must be skipped
+    assert ups.upsert_batch(spark, tv, tier, epoch_id=0) == []
+    assert ups.upsert_batch(spark, tv.limit(7), tier, epoch_id=-5) == []
+    after = sorted(map(tuple, ups.read_tier_public(spark, tier).collect()))
+    assert before == after
+    # a NEW epoch still applies (double the input doubles the counts)
+    assert ups.upsert_batch(spark, tv, tier, epoch_id=1) != []
+    doubled = ups.read_tier_public(spark, tier)
+    assert doubled.agg(F.sum("n_turns")).first()[0] == 2 * tv.count()
+
+
 def test_partial_merge_is_algebraic(spark):
     """merge(partials of any split) == partials of the whole — the property
     that makes the stored tier upsertable."""
