@@ -48,6 +48,79 @@ def bucket_first(df: DataFrame, unit: str = "minute") -> DataFrame:
     )
 
 
+def vw_decimate(df: DataFrame, min_area2: int = 100_000_000) -> DataFrame:
+    """True Visvalingam-Whyatt decimation per conversation — the direct
+    re-expression of AISdb's ``simplify_linestring_idx``
+    (``src/lib.rs:432-440``, effective-area point dropping, used at track
+    build ``aisdb/track_gen.py:67-77``): repeatedly remove the interior
+    point whose triangle (with its current neighbours) has the smallest
+    area, until every remaining interior area reaches the threshold.
+    Endpoints always survive.
+
+    Deterministic integer semantics so the DuckDB oracle can replay the
+    greedy machine exactly (the reference's 1e-4 float precision knob
+    becomes an integer doubled-area threshold):
+
+    - x = relative ms within the conversation (int64), y = value (int64);
+    - doubled area ``|(x_i−x_a)(y_c−y_a) − (x_c−x_a)(y_i−y_a)|`` — exact
+      int64 (≤ span_ms·max|Δvalue|, ~5e17 at a 100 TB hot conversation);
+    - ties break to the LOWEST surviving index.
+
+    Implementation: lazy min-heap over (area, index) with a doubly-linked
+    alive list — O(m log m) per conversation, numpy + heapq inside one
+    ``applyInPandas`` batch (the elimination order is inherently
+    sequential, exactly as the reference's Rust loop; neighbours are the
+    only areas that change per removal). Groups are hash-shard
+    super-groups via plans.sharding, same as every stateful operator."""
+    out_schema = "conv_id string, turn_idx int, ts timestamp, value long"
+    cols = ["conv_id", "turn_idx", "ts", "value"]
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import heapq
+
+        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+        m = len(pdf)
+        if m <= 2:
+            return pdf[cols]
+        us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        x = (us - us.min()) // 1000
+        y = pdf["value"].to_numpy(dtype=np.int64)
+        prev = np.arange(-1, m - 1)
+        nxt = np.arange(1, m + 1)
+        alive = np.ones(m, dtype=bool)
+        ver = np.zeros(m, dtype=np.int64)
+
+        def area2(i: int) -> int:
+            a, c = prev[i], nxt[i]
+            return abs(
+                int(x[i] - x[a]) * int(y[c] - y[a])
+                - int(x[c] - x[a]) * int(y[i] - y[a])
+            )
+
+        heap = [(area2(i), i, 0) for i in range(1, m - 1)]
+        heapq.heapify(heap)
+        while heap:
+            ar, i, v = heapq.heappop(heap)
+            if not alive[i] or v != ver[i]:
+                continue  # stale entry (neighbour changed since push)
+            if ar >= min_area2:
+                break  # heap min is the global min → all survivors pass
+            alive[i] = False
+            p, nx = int(prev[i]), int(nxt[i])
+            nxt[p], prev[nx] = nx, p
+            for j in (p, nx):
+                if 0 < j < m - 1 and alive[j]:
+                    ver[j] += 1
+                    heapq.heappush(heap, (area2(j), j, int(ver[j])))
+        return pdf.iloc[np.flatnonzero(alive)][cols]
+
+    from aisdb_spark.plans.sharding import apply_per_conv
+
+    return apply_per_conv(
+        df.select("conv_id", "turn_idx", "ts", "value"), _one, out_schema
+    )
+
+
 def lttb(df: DataFrame, n_out: int = 64) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsample to ≤ n_out points per
     conversation (vectorized numpy per group).

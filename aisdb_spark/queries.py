@@ -715,6 +715,63 @@ def lttb_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downsample.lttb(_tv(spark, sf_dir), n_out=64)
 
 
+def _vw_oracle(th: int) -> str:
+    """Exact DuckDB oracle for integer Visvalingam-Whyatt: a recursive CTE
+    carries each conversation's surviving points as a LIST<STRUCT(i,x,y)>
+    and removes ONE point per step — the minimum doubled-area interior
+    point, first (=lowest-index) occurrence on ties — until the minimum
+    reaches the threshold. Independent recomputation of the greedy
+    machine; recursion depth = max removals per conversation."""
+    return f"""{_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)},
+pts0 AS (
+  SELECT conv_id,
+    list({{'i': turn_idx, 'x': x, 'y': y}} ORDER BY turn_idx) AS pts
+  FROM (
+    SELECT conv_id, turn_idx,
+      (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY conv_id)) // 1000 AS x,
+      CAST(value AS BIGINT) AS y
+    FROM tv)
+  GROUP BY conv_id
+),
+rec AS (
+  SELECT conv_id, pts, false AS done FROM pts0
+  UNION ALL
+  SELECT conv_id,
+    CASE WHEN stop THEN pts
+         ELSE pts[1:p-1] || pts[p+1:len(pts)] END AS pts,
+    stop AS done
+  FROM (
+    SELECT conv_id, pts,
+      (mn IS NULL OR mn >= {th}) AS stop,
+      list_position(areas, mn) + 1 AS p
+    FROM (
+      SELECT conv_id, pts, areas, list_min(areas) AS mn
+      FROM (
+        SELECT conv_id, pts,
+          list_transform(generate_series(2, len(pts) - 1), k ->
+            abs((pts[k].x - pts[k-1].x) * (pts[k+1].y - pts[k-1].y)
+              - (pts[k+1].x - pts[k-1].x) * (pts[k].y - pts[k-1].y))) AS areas
+        FROM rec WHERE NOT done)))
+)
+SELECT t.conv_id, t.turn_idx, t.ts, t.value
+FROM tv t
+JOIN (SELECT conv_id, unnest(list_transform(pts, q -> q.i)) AS turn_idx
+      FROM rec WHERE done) k
+  ON t.conv_id = k.conv_id AND t.turn_idx = k.turn_idx"""
+
+
+@query("vw_decimate", _vw_oracle(100_000_000))
+def vw_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Visvalingam-Whyatt effective-area decimation per conversation
+    (``src/lib.rs:432-440`` ``simplify_linestring_idx``, applied at track
+    build ``aisdb/track_gen.py:67-77``) — closes round 2's last cite-level
+    parity gap beside the LTTB/every_nth/bucket_first slot. Integer
+    doubled-area semantics; threshold keeps ~half the corpus. Oracle: the
+    greedy elimination machine replayed in DuckDB over LIST<STRUCT> state
+    (_vw_oracle)."""
+    return downsample.vw_decimate(_tv(spark, sf_dir), min_area2=100_000_000)
+
+
 # ---------------------------------------------------------------------------
 # Milestone 4: Gorilla codec round-trip + per-entity compression metrics.
 # The round-trip oracle is the identity query — decode(encode(series)) must
@@ -901,6 +958,50 @@ def asof_signups_so_far(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select("conv_id", "turn_idx", "ts"),
         sign,
         out_col="signups_so_far",
+    )
+
+
+@query(
+    "asof_rate_lookup",
+    f"""{_PRELUDE},
+bounds AS (
+  SELECT (epoch_us(min(ts)) // 3600000000) * 3600000000 + 3600000000 AS start_us,
+         epoch_us(max(ts)) AS hi_us
+  FROM tv),
+sched AS (
+  SELECT make_timestamp(start_us + k * 3600000000) AS rts,
+         CAST((k * 37) % 100 + 1 AS DOUBLE) AS rate
+  FROM bounds CROSS JOIN generate_series(0, 50000) AS t(k)
+  WHERE k <= (hi_us - start_us) // 3600000000)
+SELECT conv_id, turn_idx, ts, rate
+FROM tv ASOF LEFT JOIN sched ON tv.ts >= sched.rts""",
+)
+def asof_rate_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-sized as-of lookup — the raster-table analog
+    (``aisdb/webdata/load_raster.py:27-79``; ``src/lib.rs:514-539``
+    ``binarysearch_vector``): an hourly rate schedule (one row per hour of
+    the corpus span — genuinely dim-sized, unlike signups) is broadcast as
+    sorted arrays and every turn resolves its prevailing rate via
+    vectorized ``np.searchsorted`` (operators/asof.asof_lookup_broadcast).
+    The schedule starts one hour AFTER floor(min ts) so the earliest turns
+    exercise the no-reference NULL path. Oracle: DuckDB ``ASOF LEFT JOIN``
+    against the same generated schedule."""
+    import numpy as np
+
+    tv = _tv(spark, sf_dir)
+    b = tv.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()  # two scalars — bounded driver transfer
+    hour_us = 3_600_000_000
+    start = (b["lo"] // hour_us) * hour_us + hour_us
+    k = np.arange((b["hi"] - start) // hour_us + 1, dtype=np.int64)
+    return asof.asof_lookup_broadcast(
+        spark,
+        tv.select("conv_id", "turn_idx", "ts"),
+        start + k * hour_us,
+        (k * 37) % 100 + 1.0,
+        out_col="rate",
     )
 
 
@@ -1686,6 +1787,41 @@ def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit()
     assert sio.ingest_files(spark, paths, ledger) is None  # idempotent re-run
     return df
+
+
+@query(
+    "zip_ingest_roundtrip",
+    f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts""",
+)
+def zip_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.zip`` archive ingest round trip (SURVEY.md §2.1; reference
+    unzip-then-decode ``aisdb/database/decoder.py:119-153``): export the
+    transcripts to two disjoint CSV shard sets, pack each into a .zip
+    (plus a non-.csv member that must be skipped by the suffix filter,
+    like the reference's), and decode both archives via the binaryFile +
+    in-executor zipfile route (sources/io.read_transcripts_zip) — archives
+    fan out to executors, the driver never touches archive bytes.
+    Identity oracle: bit-for-bit column preservation, micros included."""
+    import glob as _glob
+    import os
+    import tempfile
+    import zipfile
+
+    from aisdb_spark.sources import io as sio
+
+    t = load_transcripts(spark, sf_dir)
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    base = tempfile.mkdtemp(prefix="spark_zip_")
+    for i in range(2):
+        sio.write_transcripts_csv(t.filter(half == i), f"{base}/csv{i}")
+        with zipfile.ZipFile(
+            f"{base}/arch{i}.zip", "w", zipfile.ZIP_DEFLATED
+        ) as zf:
+            for p in sorted(_glob.glob(f"{base}/csv{i}/part-*.csv")):
+                zf.write(p, arcname=f"shard{i}_{os.path.basename(p)}")
+            zf.writestr("manifest.txt", "not a csv - skipped by suffix filter")
+    return sio.read_transcripts_zip(spark, f"{base}/arch*.zip")
 
 
 @query(

@@ -55,6 +55,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_lsh_top10",
     "lttb_64",
+    "vw_decimate",
+    "asof_rate_lookup",
 ]
 
 
