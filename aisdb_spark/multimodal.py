@@ -141,44 +141,72 @@ def with_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_gen, MEDIA_SCHEMA)
 
 
+_FEATURE_COLS = [
+    "doc_id", "media_type", "width", "height",
+    "n_units", "sum_units", "mean_unit",
+]
+
+
+def _stacked_sums(parts: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Lengths + per-part integer sums of variable-length arrays via ONE
+    concatenated buffer and ``np.add.reduceat`` — the aggregation is a
+    single vectorized pass regardless of blob count (parts are non-empty:
+    every payload pattern has >= 256 units, asserted)."""
+    lens = np.fromiter((p.size for p in parts), dtype=np.int64, count=len(parts))
+    assert lens.min() > 0  # reduceat is ill-defined on empty segments
+    flat = np.concatenate([p.ravel() for p in parts]).astype(np.int64, copy=False)
+    starts = np.zeros(len(parts), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return lens, np.add.reduceat(flat, starts)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Per-payload feature extraction via mapInPandas — REAL decodes:
     BMP → pixel stats, WAV → sample stats, video → byte stats. All integer
-    sums, so the identity oracle is hash-exact."""
+    sums, so the identity oracle is hash-exact.
+
+    Python per blob is ONLY the container decode (inherently per-payload —
+    each blob is its own file); the feature aggregation is vectorized
+    ACROSS all same-type blobs of the Arrow batch (one concatenated numpy
+    buffer + reduceat per media_type), per the round-2 advice."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, blob, mtype in zip(
-                pdf["doc_id"], pdf["media"], pdf["media_type"]
-            ):
-                d = int(doc_id)
+            if not len(pdf):
+                yield pd.DataFrame(columns=_FEATURE_COLS)
+                continue
+            frames = []
+            for mtype, sub in pdf.groupby("media_type", sort=False):
                 if mtype == "image/bmp":
-                    px = decode_image(bytes(blob))
-                    h, w, _ = px.shape
-                    n = px.size
-                    s = int(px.astype(np.int64).sum())
+                    arrs = [decode_image(bytes(b)) for b in sub["media"]]
+                    w = np.fromiter((a.shape[1] for a in arrs), np.int64, len(arrs))
+                    h = np.fromiter((a.shape[0] for a in arrs), np.int64, len(arrs))
                 elif mtype == "audio/wav":
-                    sm = decode_audio(bytes(blob))
-                    w = h = 0
-                    n = len(sm)
-                    s = int(sm.astype(np.int64).sum())
+                    arrs = [decode_audio(bytes(b)) for b in sub["media"]]
+                    w = h = np.zeros(len(arrs), dtype=np.int64)
                 else:
-                    b = np.frombuffer(bytes(blob), dtype=np.uint8)
-                    w = h = 0
-                    n = len(b)
-                    s = int(b.astype(np.int64).sum())
-                # plain IEEE division of exact ints — bit-equal to the
-                # oracle's CAST(... AS DOUBLE)/n (no round(): Python uses
-                # banker's rounding, DuckDB half-away — a tie would flake)
-                rows.append((d, mtype, w, h, n, s, s / n))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "media_type", "width", "height",
-                    "n_units", "sum_units", "mean_unit",
-                ],
-            )
+                    arrs = [
+                        np.frombuffer(bytes(b), dtype=np.uint8)
+                        for b in sub["media"]
+                    ]
+                    w = h = np.zeros(len(arrs), dtype=np.int64)
+                lens, sums = _stacked_sums(arrs)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": sub["doc_id"].to_numpy(),
+                            "media_type": mtype,
+                            "width": w,
+                            "height": h,
+                            "n_units": lens,
+                            "sum_units": sums,
+                            # vectorized IEEE division of exact ints —
+                            # bit-equal to the oracle's CAST(..)/n
+                            "mean_unit": sums / lens,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)[_FEATURE_COLS]
 
     return media.mapInPandas(
         _batches,
