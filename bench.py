@@ -57,6 +57,7 @@ HEADLINE = [
     "lttb_64",
     "vw_decimate",
     "asof_rate_lookup",
+    "skewed_salted_rollup_1min",
 ]
 
 
