@@ -86,9 +86,15 @@ def worker(cpus: int) -> None:
         "lttb_64": lambda: noop(downsample.lttb(tv, n_out=64)),
         "vw_decimate": lambda: noop(downsample.vw_decimate(tv)),
         "every_nth_5": lambda: noop(downsample.every_nth(tv, 5)),
-        # codec
+        # codec — value+0.0 gives a distinct logical plan so Spark's cache
+        # manager can't serve this stage from the pre-materialized `enc`
+        # (same bytes through the encoder; first run measured 0.08 s
+        # because the identical plan hit the cache)
         "gorilla_encode": lambda: noop(
-            codec_arrow.compress_partitions_arrow(tv, assume_partitioned=True)
+            codec_arrow.compress_partitions_arrow(
+                tv.withColumn("value", F.col("value") + F.lit(0.0)),
+                assume_partitioned=True,
+            )
         ),
         "gorilla_decode": lambda: noop(codec.decompress_conversations(enc)),
         # as-of family
@@ -167,6 +173,16 @@ def main() -> None:
         ),
         "stage_ranking_local4N": sorted(
             f_["stages"], key=f_["stages"].get, reverse=True
+        ),
+        "note": (
+            "per-stage efficiency is meaningful for stages >= ~5 s; stages "
+            "in the 1-5 s range are dominated by fixed task-dispatch "
+            "overhead at this corpus size and under-read their true "
+            "scaling (their absolute cost at 20M turns is the point: they "
+            "are not bottlenecks). Mildly superlinear Python-kernel stages "
+            "(lttb/pathways/vw ~1.0-1.1) are real: at local[8] the Python "
+            "workers compete with the JVM for the same 8 threads; at "
+            "local[32] both pools breathe."
         ),
     }
     with open("BENCH_LARGE.json", "w") as f:
