@@ -146,8 +146,10 @@ def upsert_rollup_batch(
             on=["bucket_start", "user_id"],
             how="left_anti",
         )
-        out = keep.unionByName(new)
-    out = out.localCheckpoint(eager=True)  # don't read our own target
+        # truncate lineage ONLY when the plan reads the overwrite target
+        # (a first-batch write has no self-read — skipping the eager
+        # checkpoint avoids materializing the output twice)
+        out = keep.unionByName(new).localCheckpoint(eager=True)
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -328,16 +330,17 @@ def upsert_sessions_batch(
         {d + dt.timedelta(days=off) for d in batch_dates for off in (-1, 0, 1)}
     )
     merged = new.select(*_SESSION_TIER_COLS)
-    if _tier_nonempty(tier_dir):
+    had_tier = _tier_nonempty(tier_dir)
+    if had_tier:
         existing = spark.read.parquet(tier_dir).filter(
             F.col("bucket_date").isin(read_dates)  # partition-pruned scan
         )
         merged = merge_session_partials(
             existing.select(*_SESSION_TIER_COLS).unionByName(merged)
         )
-    out = merged.withColumn(
-        "bucket_date", F.to_date("session_start")
-    ).localCheckpoint(eager=True)  # don't read our own target
+    out = merged.withColumn("bucket_date", F.to_date("session_start"))
+    if had_tier:  # lineage reads the overwrite target → must truncate
+        out = out.localCheckpoint(eager=True)
     out_dates = {r[0] for r in out.select("bucket_date").distinct().collect()}
     (
         out.write.mode("overwrite")

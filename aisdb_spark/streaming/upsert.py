@@ -140,8 +140,9 @@ def upsert_batch(
                 "conv_id", "bucket_start", *PARTIAL_COLS
             )
         ).withColumn("bucket_date", F.to_date("bucket_start"))
-    # truncate lineage so the overwrite below doesn't read its own target
-    merged = merged.localCheckpoint(eager=True)
+        # truncate lineage ONLY when the plan reads the overwrite target
+        # (first-batch writes skip the double materialization)
+        merged = merged.localCheckpoint(eager=True)
     (
         merged.write.mode("overwrite")
         # write-scoped dynamic overwrite: only the bucket_date partitions
