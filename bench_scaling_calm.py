@@ -138,10 +138,23 @@ def summarize(trials: list[dict]) -> dict:
     }
 
 
+def load_existing() -> tuple[list[dict], int]:
+    """Resume from the per-trial archives (the summary is derived state —
+    the archives are the ledger), so a stopped orchestrator continues the
+    same numbered series instead of clobbering it."""
+    import glob
+
+    trials, idx = [], 0
+    for p in sorted(glob.glob(f"{RUNS_DIR}/r3_trial_*.json")):
+        with open(p) as f:
+            trials.append(json.load(f))
+        idx = max(idx, int(p.rsplit("_", 1)[1].split(".")[0]))
+    return trials, idx
+
+
 def main() -> None:
     admit_target = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    trials: list[dict] = []
-    idx = 0
+    trials, idx = load_existing()
     while sum(t.get("admitted", False) for t in trials) < admit_target:
         probe = pre_probe()
         if not calm(probe):
