@@ -69,21 +69,6 @@ def rollup_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "salted_rollup_1min",
-    f"""{_PRELUDE}
-SELECT conv_id, date_trunc('minute', ts) AS bucket_start,{_ROLLUP_MEASURES}
-FROM tv GROUP BY 1, 2""",
-)
-def salted_rollup_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-safe two-phase rollup (partial per (conv, bucket, salt) →
-    merge) — the skew plan for conversations too hot for one reducer
-    (plans/partitioning.with_salt; TimescaleDB mmsi-hash partitioning
-    analog). Shares rollup_1min's oracle: salted ≡ direct, proven by the
-    driver's value hash, not just a unit test."""
-    return rollup.temporal_bin_salted(_tv(spark, sf_dir), "minute")
-
-
-@query(
-    "skewed_salted_rollup_1min",
     f"""{_PRELUDE},
 sk AS (
   SELECT CASE WHEN CAST(substr(conv_id, 6) AS INTEGER) % 7 = 0
@@ -95,23 +80,37 @@ rk AS (
     CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ts, orig, oti) - 1
          AS INTEGER) AS turn_idx
   FROM sk)
-SELECT conv_id, date_trunc('minute', ts) AS bucket_start,{_ROLLUP_MEASURES}
-FROM rk GROUP BY 1, 2""",
+SELECT 'uniform' AS variant, conv_id,
+  date_trunc('minute', ts) AS bucket_start,{_ROLLUP_MEASURES}
+FROM tv GROUP BY conv_id, date_trunc('minute', ts)
+UNION ALL
+SELECT 'skewed' AS variant, conv_id,
+  date_trunc('minute', ts) AS bucket_start,{_ROLLUP_MEASURES}
+FROM rk GROUP BY conv_id, date_trunc('minute', ts)""",
 )
-def skewed_salted_rollup_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The salted rollup under ADVERSARIAL skew (round-2 verdict item 8):
-    every 7th conversation is collapsed into one 'hot-conv' holding ~14%
-    of all rows (FIXTURES.md's 100×-median hot conversation, pushed
-    further), turns re-indexed by a deterministic total order
-    (ts, original conv, original idx) so first/last stay well-defined.
-    Same two-phase salt plan as salted_rollup_1min; the oracle aggregates
-    the identically-skewed corpus directly — equality under a key this hot
-    is the skew-correctness proof the uniform corpus can't give. The plan
-    shape (partial aggregate keyed on salt before the merge, AQE on) is
-    pinned by tests/test_skew.py."""
+def salted_rollup_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe two-phase rollup (partial per (conv, bucket, salt) →
+    merge) — the skew plan for conversations too hot for one reducer
+    (plans/partitioning.with_salt; TimescaleDB mmsi-hash partitioning
+    analog). Two variants in one driver row (registry folded to fit the
+    50-query correctness budget, round 4):
+
+    - ``uniform``: the natural corpus — salted ≡ direct, proven by the
+      driver's value hash against the plain-aggregation oracle;
+    - ``skewed``: ADVERSARIAL skew (round-2 verdict item 8) — every 7th
+      conversation collapsed into one 'hot-conv' holding ~14% of all rows
+      (FIXTURES.md's 100×-median hot conversation, pushed further), turns
+      re-indexed by a deterministic total order (ts, original conv,
+      original idx) so first/last stay well-defined. Equality under a key
+      this hot is the skew-correctness proof the uniform corpus can't
+      give. The plan shape (partial aggregate keyed on salt before the
+      merge, AQE on) is pinned by tests/test_skew.py."""
     from pyspark.sql import Window
 
     tv = _tv(spark, sf_dir)
+    uniform = rollup.temporal_bin_salted(tv, "minute").withColumn(
+        "variant", F.lit("uniform")
+    )
     hot = F.when(
         F.substring("conv_id", 6, 20).cast("int") % 7 == 0, F.lit("hot-conv")
     ).otherwise(F.col("conv_id"))
@@ -120,7 +119,10 @@ def skewed_salted_rollup_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = sk.withColumn(
         "turn_idx", (F.row_number().over(w) - 1).cast("int")
     ).select("conv_id", "turn_idx", "ts", "value")
-    return rollup.temporal_bin_salted(rk, "minute")
+    skewed = rollup.temporal_bin_salted(rk, "minute").withColumn(
+        "variant", F.lit("skewed")
+    )
+    return uniform.unionByName(skewed)
 
 
 @query(
@@ -210,13 +212,37 @@ SELECT conv_id, turn_idx,
   CAST(value - lag(value) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS DOUBLE)
     / greatest(CAST(floor((epoch_us(ts) - lag(epoch_us(ts))
         OVER (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000) AS DOUBLE), 1.0)
-    AS rate
+    AS rate,
+  least(abs(value - 30) % 60, 60 - (abs(value - 30) % 60)) AS circ_diff,
+  ((value - (-180)) % 360 + 360) % 360 + (-180) AS wrapped,
+  epoch_us(ts) // 1000000 AS epoch_sec,
+  regexp_replace(text, '[,#"''\\n\\r]', ' ', 'g') AS sanitized
 FROM tv""",
 )
 def turn_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise delta series (aisdb/gis.py:93-181 analog)."""
+    """Pairwise delta series (aisdb/gis.py:93-181 analog) PLUS the scalar
+    function surface of SURVEY.md §2.7 — circular diff, modular wrap,
+    epoch conversion (``aisdb/gis.py:43-90`` dt_2_epoch/shiftcoord
+    analogs) and CSV sanitization (``aisdb/proc_util.py:14-31``) — folded
+    into one driver row (round 4) so the registry fits the 50-query
+    correctness budget; both surfaces stay hash-checked every round."""
+    from aisdb_spark.functions import (
+        circular_diff,
+        epoch_s,
+        sanitize_csv_text,
+        wrap_mod,
+    )
+
     return deltas.with_deltas(_tv(spark, sf_dir)).select(
-        "conv_id", "turn_idx", "delta_us", "delta_value", "rate"
+        "conv_id",
+        "turn_idx",
+        "delta_us",
+        "delta_value",
+        "rate",
+        circular_diff(F.col("value"), F.lit(30), 60).alias("circ_diff"),
+        wrap_mod(F.col("value")).alias("wrapped"),
+        epoch_s(F.col("ts")).alias("epoch_sec"),
+        sanitize_csv_text(F.col("text")).alias("sanitized"),
     )
 
 
@@ -825,16 +851,34 @@ from aisdb_spark.operators import codec, codec_arrow  # noqa: E402
 @query(
     "gorilla_roundtrip",
     f"""{_PRELUDE}
-SELECT conv_id, ts, CAST(value AS DOUBLE) AS value FROM tv""",
+SELECT 'arrow' AS variant, conv_id, ts, CAST(value AS DOUBLE) AS value FROM tv
+UNION ALL
+SELECT 'chunked' AS variant, conv_id, ts, CAST(value AS DOUBLE) AS value FROM tv""",
 )
 def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla delta-of-delta + XOR encode → decode identity
     (codec spec: Pelkonen et al. VLDB'15; layout precedent
-    aisdb/aisdb_sql/timescale_createtable_dynamic.sql:24-29). Encode runs
-    the Arrow-native ``mapInArrow`` path (byte-identical to the pandas
-    path per tests/test_codec.py; ~12% faster measured at 20M turns)."""
-    enc = codec_arrow.compress_partitions_arrow(_tv(spark, sf_dir))
-    return codec.decompress_conversations(enc)
+    aisdb/aisdb_sql/timescale_createtable_dynamic.sql:24-29). Two codec
+    routes in one driver row (registry folded round 4):
+
+    - ``arrow``: Arrow-native encode (``mapInArrow``,
+      codec_arrow.compress_partitions_arrow) → Arrow-native decode
+      (``decompress_conversations_arrow``) — now the registry-default
+      decode path (round-3 verdict item 4; byte-identical to the pandas
+      path per tests/test_codec.py, skips Arrow→pandas→Arrow);
+    - ``chunked``: group-size-capped blobs (max_rows=40 forces multi-chunk
+      conversations; AISdb's 50k batching precedent,
+      aisdb_lib/src/decode.rs:19) → chunk-concatenating decode."""
+    tv = _tv(spark, sf_dir)
+    enc = codec_arrow.compress_partitions_arrow(tv)
+    whole = codec.decompress_conversations_arrow(enc).withColumn(
+        "variant", F.lit("arrow")
+    )
+    encc = codec.compress_conversations_chunked(tv, max_rows=40)
+    chunked = codec.decompress_conversations_chunked(encc).withColumn(
+        "variant", F.lit("chunked")
+    )
+    return whole.unionByName(chunked)
 
 
 # The metrics oracle re-derives the codec's EXACT compressed byte size in
@@ -1800,23 +1844,37 @@ def retention_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "csv_ingest_roundtrip",
     f"""{_PRELUDE}
-SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts""",
+SELECT 'csvgz' AS route, conv_id, turn_idx, role, text, tool, ts FROM transcripts
+UNION ALL
+SELECT 'zip' AS route, conv_id, turn_idx, role, text, tool, ts FROM transcripts""",
 )
 def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV sink → checksum-ledger-gated ingest round trip (SURVEY.md §2.1;
-    reference decoder dedup ``aisdb/database/decoder.py:21-153``). Exports
-    the transcripts to two disjoint CSV shards (one plain, one gzip —
-    exercising the native .csv.gz path), ingests them through the
-    IngestLedger, commits, and proves idempotence (re-ingest returns None)
-    before handing back the decoded DataFrame. Identity oracle: the CSV
-    round trip must preserve every column bit-for-bit, micros included."""
+    """File-ingest round trips — both archive routes in one driver row
+    (registry folded round 4). Identity oracle: every route must preserve
+    every column bit-for-bit, micros included.
+
+    - ``csvgz`` (SURVEY.md §2.1; reference decoder dedup
+      ``aisdb/database/decoder.py:21-153``): transcripts exported to two
+      disjoint CSV shards (one plain, one gzip — the native .csv.gz
+      path), ingested through the checksum IngestLedger, committed, and
+      idempotence proven (re-ingest returns None);
+    - ``zip`` (reference unzip-then-decode
+      ``aisdb/database/decoder.py:119-153``): two disjoint CSV shard
+      sets packed into .zip archives (plus a non-.csv member that must
+      be skipped by the suffix filter, like the reference's), decoded
+      via the binaryFile + in-executor zipfile route
+      (sources/io.read_transcripts_zip) — archives fan out to executors,
+      the driver never touches archive bytes."""
     import glob as _glob
+    import os
     import tempfile
+    import zipfile
 
     from aisdb_spark.sources import io as sio
 
     t = load_transcripts(spark, sf_dir)
     half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+
     base = tempfile.mkdtemp(prefix="spark_ingest_")
     sio.write_transcripts_csv(t.filter(half == 0), f"{base}/a", compress=False)
     sio.write_transcripts_csv(t.filter(half == 1), f"{base}/b", compress=True)
@@ -1827,72 +1885,20 @@ def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, commit = sio.ingest_files(spark, paths, ledger)
     commit()
     assert sio.ingest_files(spark, paths, ledger) is None  # idempotent re-run
-    return df
 
-
-@query(
-    "zip_ingest_roundtrip",
-    f"""{_PRELUDE}
-SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts""",
-)
-def zip_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``.zip`` archive ingest round trip (SURVEY.md §2.1; reference
-    unzip-then-decode ``aisdb/database/decoder.py:119-153``): export the
-    transcripts to two disjoint CSV shard sets, pack each into a .zip
-    (plus a non-.csv member that must be skipped by the suffix filter,
-    like the reference's), and decode both archives via the binaryFile +
-    in-executor zipfile route (sources/io.read_transcripts_zip) — archives
-    fan out to executors, the driver never touches archive bytes.
-    Identity oracle: bit-for-bit column preservation, micros included."""
-    import glob as _glob
-    import os
-    import tempfile
-    import zipfile
-
-    from aisdb_spark.sources import io as sio
-
-    t = load_transcripts(spark, sf_dir)
-    half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
-    base = tempfile.mkdtemp(prefix="spark_zip_")
+    zbase = tempfile.mkdtemp(prefix="spark_zip_")
     for i in range(2):
-        sio.write_transcripts_csv(t.filter(half == i), f"{base}/csv{i}")
+        sio.write_transcripts_csv(t.filter(half == i), f"{zbase}/csv{i}")
         with zipfile.ZipFile(
-            f"{base}/arch{i}.zip", "w", zipfile.ZIP_DEFLATED
+            f"{zbase}/arch{i}.zip", "w", zipfile.ZIP_DEFLATED
         ) as zf:
-            for p in sorted(_glob.glob(f"{base}/csv{i}/part-*.csv")):
+            for p in sorted(_glob.glob(f"{zbase}/csv{i}/part-*.csv")):
                 zf.write(p, arcname=f"shard{i}_{os.path.basename(p)}")
             zf.writestr("manifest.txt", "not a csv - skipped by suffix filter")
-    return sio.read_transcripts_zip(spark, f"{base}/arch*.zip")
+    zdf = sio.read_transcripts_zip(spark, f"{zbase}/arch*.zip")
 
-
-@query(
-    "scalar_functions",
-    f"""{_PRELUDE}
-SELECT conv_id, turn_idx,
-  least(abs(value - 30) % 60, 60 - (abs(value - 30) % 60)) AS circ_diff,
-  ((value - (-180)) % 360 + 360) % 360 + (-180) AS wrapped,
-  epoch_us(ts) // 1000000 AS epoch_sec,
-  regexp_replace(text, '[,#"''\\n\\r]', ' ', 'g') AS sanitized
-FROM tv""",
-)
-def scalar_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar surface (SURVEY.md §2.7): circular diff, modular wrap, epoch
-    conversion, CSV sanitization."""
-    from aisdb_spark.functions import (
-        circular_diff,
-        epoch_s,
-        sanitize_csv_text,
-        wrap_mod,
-    )
-
-    tv = _tv(spark, sf_dir)
-    return tv.select(
-        "conv_id",
-        "turn_idx",
-        circular_diff(F.col("value"), F.lit(30), 60).alias("circ_diff"),
-        wrap_mod(F.col("value")).alias("wrapped"),
-        epoch_s(F.col("ts")).alias("epoch_sec"),
-        sanitize_csv_text(F.col("text")).alias("sanitized"),
+    return df.withColumn("route", F.lit("csvgz")).unionByName(
+        zdf.withColumn("route", F.lit("zip"))
     )
 
 
@@ -1909,11 +1915,3 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("documents")
     return multimodal.extract_features(multimodal.with_media(docs))
-
-
-@query("gorilla_chunked_roundtrip", f"""{_PRELUDE}
-SELECT conv_id, ts, CAST(value AS DOUBLE) AS value FROM tv""")
-def gorilla_chunked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunked (group-size-capped) codec round-trip — identity oracle."""
-    enc = codec.compress_conversations_chunked(_tv(spark, sf_dir), max_rows=40)
-    return codec.decompress_conversations_chunked(enc)

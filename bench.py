@@ -57,7 +57,6 @@ HEADLINE = [
     "lttb_64",
     "vw_decimate",
     "asof_rate_lookup",
-    "skewed_salted_rollup_1min",
 ]
 
 
