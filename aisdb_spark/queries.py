@@ -1053,11 +1053,17 @@ bounds AS (
   SELECT (epoch_us(min(ts)) // 3600000000) * 3600000000 + 3600000000 AS start_us,
          epoch_us(max(ts)) AS hi_us
   FROM tv),
+ks AS (
+  -- series bound derived from the actual corpus span, exactly like the
+  -- Spark side's np.arange((hi-start)//hour + 1) — no fixed cap that a
+  -- long corpus could silently outgrow (round-4 ADVICE fix)
+  SELECT unnest(generate_series(0::BIGINT, (hi_us - start_us) // 3600000000)) AS k,
+         start_us
+  FROM bounds),
 sched AS (
   SELECT make_timestamp(start_us + k * 3600000000) AS rts,
          CAST((k * 37) % 100 + 1 AS DOUBLE) AS rate
-  FROM bounds CROSS JOIN generate_series(0, 50000) AS t(k)
-  WHERE k <= (hi_us - start_us) // 3600000000)
+  FROM ks)
 SELECT conv_id, turn_idx, ts, rate
 FROM tv ASOF LEFT JOIN sched ON tv.ts >= sched.rts""",
 )

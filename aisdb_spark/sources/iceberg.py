@@ -67,3 +67,97 @@ def overwrite_partitions(df: DataFrame, table: str) -> None:
     """Idempotent per-partition replacement — the Iceberg twin of
     checkpoint.write_tier's directory overwrite."""
     df.writeTo(table).overwritePartitions()
+
+
+# ---------------------------------------------------------------------------
+# Transactional epoch-gated tier upsert (round-3 verdict item 2).
+#
+# The parquet path (streaming/upsert.py) applies a micro-batch with
+# tier-write THEN an atomic ``_epoch.json`` rename — leaving a documented
+# crash window between the two in which a replay double-merges. With an
+# Iceberg catalog both become ONE commit: the epoch id rides in the
+# snapshot summary of the very ``overwritePartitions`` that applies the
+# data, so a crash before the commit leaves old-data+old-epoch and a crash
+# after leaves new-data+new-epoch — no in-between state exists. This is the
+# Spark/Iceberg expression of the reference's transactional insert batches
+# (``aisdb/aisdb_sql/insert_dynamic_clusteredidx.sql:16`` — ON CONFLICT
+# inside one transaction). Exercised end-to-end by tests/
+# test_iceberg_gate.py the moment a runtime jar appears; until then the
+# logic is import-clean but unreachable in-sandbox.
+# ---------------------------------------------------------------------------
+
+EPOCH_PROP = "aisdb.epoch"
+
+
+def last_applied_epoch_iceberg(spark: SparkSession, table: str) -> int:
+    """Max epoch recorded in any snapshot summary of ``table`` (epochs are
+    strictly increasing per checkpoint, so max == last applied). -1 when
+    the table does not exist yet or never carried an epoch."""
+    try:
+        row = spark.sql(
+            f"SELECT max(CAST(summary['{EPOCH_PROP}'] AS BIGINT)) "
+            f"FROM {table}.snapshots"
+        ).first()
+        return -1 if row[0] is None else int(row[0])
+    except Exception:
+        return -1
+
+
+def upsert_batch_iceberg(
+    spark: SparkSession,
+    turns: DataFrame,
+    table: str,
+    epoch_id: int | None = None,
+) -> list:
+    """Transactional twin of ``streaming.upsert.upsert_batch``: merge one
+    micro-batch of raw turns into the partial-1min tier held in an Iceberg
+    table, committing data + epoch atomically. Returns the affected days.
+
+    The read of the existing partitions and the partition overwrite are
+    snapshot-isolated (the scan pins the pre-commit snapshot), so no
+    ``localCheckpoint`` lineage truncation is needed — the table format
+    supplies what the parquet path had to fake."""
+    from pyspark.sql import functions as F
+
+    from aisdb_spark.streaming.upsert import (
+        PARTIAL_COLS,
+        merge_partials,
+        partial_1min,
+    )
+
+    if epoch_id is not None and epoch_id <= last_applied_epoch_iceberg(
+        spark, table
+    ):
+        return []
+    newp = partial_1min(turns).withColumn(
+        "bucket_date", F.to_date("bucket_start")
+    ).persist()
+    try:
+        dates = [
+            r[0] for r in newp.select("bucket_date").distinct().collect()
+        ]
+        if not dates:
+            return []
+        exists = spark.catalog.tableExists(table)
+        merged = newp
+        if exists:
+            existing = spark.table(table).filter(
+                F.col("bucket_date").isin(dates)  # partition-pruned scan
+            )
+            merged = merge_partials(
+                existing.unionByName(newp).select(
+                    "conv_id", "bucket_start", *PARTIAL_COLS
+                )
+            ).withColumn("bucket_date", F.to_date("bucket_start"))
+        writer = merged.writeTo(table)
+        if epoch_id is not None:
+            writer = writer.option(
+                f"snapshot-property.{EPOCH_PROP}", str(epoch_id)
+            )
+        if exists:
+            writer.overwritePartitions()
+        else:
+            writer.partitionedBy(F.col("bucket_date")).create()
+        return dates
+    finally:
+        newp.unpersist()

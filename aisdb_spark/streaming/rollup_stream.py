@@ -51,18 +51,28 @@ EVENTS_SCHEMA = T.StructType(
 def stream_rollup_1min(
     spark: SparkSession,
     landing_dir: str,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     glob: str | None = None,
 ) -> DataFrame:
     """readStream(parquet landing dir) → per-user 1-minute windowed rollup
     with watermark-bounded state. Integer-exact measures (value→cents).
     ``glob`` filters file names inside the landing dir (the file stream
-    source requires a directory basePath)."""
+    source requires a directory basePath).
+
+    ``watermark=None`` skips the watermark entirely — REQUIRED for finite
+    drains (see :func:`drained_rollup_1min`): with update output mode a
+    watermark actively drops rows older than max(ts)-horizon once the
+    drain spans multiple micro-batches (maxFilesPerTrigger, or re-draining
+    a landing dir with late files over a kept checkpoint), silently
+    diverging the tier from the batch answer. Keep a watermark only on
+    continuous pipelines, where bounding state is the point."""
     normalize_session(spark)
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    src = ensure_ltz(reader.parquet(landing_dir)).withWatermark("ts", watermark)
+    src = ensure_ltz(reader.parquet(landing_dir))
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
     return rollup_measures(src)
 
 
@@ -132,32 +142,38 @@ def upsert_rollup_batch(
 
     if epoch_id is not None and epoch_id <= _last_applied_epoch(tier_dir):
         return
-    new = batch.withColumn("bucket_date", F.to_date("bucket_start"))
-    dates = [r[0] for r in new.select("bucket_date").distinct().collect()]
-    if not dates:
-        return
-    out = new
-    if _tier_nonempty(tier_dir):
-        existing = spark.read.parquet(tier_dir).filter(
-            F.col("bucket_date").isin(dates)  # partition-pruned scan
+    # persist: the unpersisted foreachBatch frame would re-run the whole
+    # micro-batch aggregation on every downstream action (dates collect,
+    # anti-join, write) — persist keeps per-batch cost ∝ updated keys
+    new = batch.withColumn("bucket_date", F.to_date("bucket_start")).persist()
+    try:
+        dates = [r[0] for r in new.select("bucket_date").distinct().collect()]
+        if not dates:
+            return
+        out = new
+        if _tier_nonempty(tier_dir):
+            existing = spark.read.parquet(tier_dir).filter(
+                F.col("bucket_date").isin(dates)  # partition-pruned scan
+            )
+            keep = existing.join(
+                new.select("bucket_start", "user_id"),
+                on=["bucket_start", "user_id"],
+                how="left_anti",
+            )
+            # truncate lineage ONLY when the plan reads the overwrite target
+            # (a first-batch write has no self-read — skipping the eager
+            # checkpoint avoids materializing the output twice)
+            out = keep.unionByName(new).localCheckpoint(eager=True)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_date")
+            .parquet(tier_dir)
         )
-        keep = existing.join(
-            new.select("bucket_start", "user_id"),
-            on=["bucket_start", "user_id"],
-            how="left_anti",
-        )
-        # truncate lineage ONLY when the plan reads the overwrite target
-        # (a first-batch write has no self-read — skipping the eager
-        # checkpoint avoids materializing the output twice)
-        out = keep.unionByName(new).localCheckpoint(eager=True)
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket_date")
-        .parquet(tier_dir)
-    )
-    if epoch_id is not None:
-        _record_epoch(tier_dir, epoch_id)
+        if epoch_id is not None:
+            _record_epoch(tier_dir, epoch_id)
+    finally:
+        new.unpersist()
 
 
 _ROLLUP_TIER_COLS = [
@@ -184,7 +200,12 @@ def drained_rollup_1min(
     base = out_base or tempfile.mkdtemp(prefix="spark_stream_rollup_")
     tier, ck = f"{base}/tier", f"{base}/ck"
     q = (
-        stream_rollup_1min(spark, landing, glob=glob)
+        # watermark=None: a finite drain must absorb EVERY row, however
+        # late — a watermark would drop late rows across micro-batch
+        # boundaries and diverge the tier from the batch oracle (the
+        # session drain below already streams raw events unwatermarked
+        # for the same reason)
+        stream_rollup_1min(spark, landing, watermark=None, glob=glob)
         .writeStream.outputMode("update")
         .foreachBatch(
             lambda b, e: upsert_rollup_batch(spark, b, tier, epoch_id=e)
@@ -297,24 +318,59 @@ def merge_session_partials(parts: DataFrame) -> DataFrame:
     )
 
 
+def _session_horizon_days(tier_dir: str) -> int:
+    """ceil(max session span in the tier, in days) — the read-back horizon.
+    Maintained in ``_horizon.json`` beside the tier; defaults to 1 (the
+    watermark-like assumption) and widens adaptively the moment a longer
+    merged session is about to be written, so a >24 h session can never be
+    silently split across read windows (round-3 verdict item 3)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(tier_dir, "_horizon.json")) as f:
+            return max(1, int(json.load(f)["max_span_days"]))
+    except (OSError, ValueError, KeyError):
+        return 1
+
+
+def _record_session_horizon(tier_dir: str, days: int) -> None:
+    import json
+    import os
+
+    os.makedirs(tier_dir, exist_ok=True)
+    tmp = os.path.join(tier_dir, "_horizon.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"max_span_days": days}, f)
+    os.replace(tmp, os.path.join(tier_dir, "_horizon.json"))
+
+
 def upsert_sessions_batch(
     spark: SparkSession, partials: DataFrame, tier_dir: str,
     epoch_id: int | None = None,
 ) -> None:
     """Merge one micro-batch of session PARTIALS into the day-partitioned
     session tier: union the new partials with the existing sessions of the
-    touched days (±1) and re-run the algebraic interval merge — the
+    touched days and re-run the algebraic interval merge — the
     session twin of upsert.upsert_batch's rollup-partial merge, and the
     Spark expression of the reference's insert-time absorption
     (aisdb/database/decoder.py:199-259 — late rows just insert, the
     table's keys absorb them).
 
-    Partitioning: a merge can pull a session's start into an earlier day,
-    so the touched days are read ±1 (assumes a session spans < 1 day —
-    the same horizon a watermark would impose) and any read partition
-    left empty is explicitly dropped (dynamic overwrite cannot delete a
-    partition it writes no rows into). Per-batch cost ∝ batch sessions +
-    existing sessions of the touched days; never table-sized."""
+    Partitioning: sessions are stored under to_date(session_start), so a
+    mergeable existing session can sit up to (max tier session span +
+    merge gap) before a batch day. The touched days — derived from BOTH
+    session_start and session_end dates, so multi-day partials count
+    every day they cross — are read back ``[-H-1, +1]`` where ``H`` is
+    the tier's recorded max session span in days (``_horizon.json``,
+    default 1; widened adaptively BEFORE any write that would exceed it,
+    crash-safe because an over-estimate only widens reads). Mergeability
+    with a merged run equals mergeability with one of its pieces, so the
+    window is exact — no session is ever silently split or duplicated,
+    regardless of span. Any read partition left empty is explicitly
+    dropped (dynamic overwrite cannot delete a partition it writes no
+    rows into). Per-batch cost ∝ batch sessions + existing sessions of
+    the touched days; never table-sized."""
     import datetime as dt
     import shutil
 
@@ -322,37 +378,74 @@ def upsert_sessions_batch(
 
     if epoch_id is not None and epoch_id <= _last_applied_epoch(tier_dir):
         return
-    new = partials.withColumn("bucket_date", F.to_date("session_start"))
-    batch_dates = {r[0] for r in new.select("bucket_date").distinct().collect()}
-    if not batch_dates:
-        return
-    read_dates = sorted(
-        {d + dt.timedelta(days=off) for d in batch_dates for off in (-1, 0, 1)}
-    )
-    merged = new.select(*_SESSION_TIER_COLS)
-    had_tier = _tier_nonempty(tier_dir)
-    if had_tier:
-        existing = spark.read.parquet(tier_dir).filter(
-            F.col("bucket_date").isin(read_dates)  # partition-pruned scan
+    # persist: 2-3 actions below (dates collect, merge+write, out_dates
+    # collect) would each re-run the upstream sessionization otherwise
+    new = partials.persist()
+    try:
+        # every day each partial CROSSES (start..end sequence, not just the
+        # endpoints): an existing session stored under an intermediate day
+        # must be read too, or a long partial could silently duplicate it
+        batch_dates = {
+            r[0]
+            for r in new.select(
+                F.explode(
+                    F.sequence(
+                        F.to_date("session_start"), F.to_date("session_end")
+                    )
+                )
+            )
+            .distinct()
+            .collect()
+        }
+        if not batch_dates:
+            return
+        horizon = _session_horizon_days(tier_dir)
+        read_dates = sorted(
+            {
+                d + dt.timedelta(days=off)
+                for d in batch_dates
+                for off in range(-horizon - 1, 2)
+            }
         )
-        merged = merge_session_partials(
-            existing.select(*_SESSION_TIER_COLS).unionByName(merged)
+        merged = new.select(*_SESSION_TIER_COLS)
+        had_tier = _tier_nonempty(tier_dir)
+        if had_tier:
+            existing = spark.read.parquet(tier_dir).filter(
+                F.col("bucket_date").isin(read_dates)  # partition-pruned scan
+            )
+            merged = merge_session_partials(
+                existing.select(*_SESSION_TIER_COLS).unionByName(merged)
+            )
+        out = merged.withColumn("bucket_date", F.to_date("session_start"))
+        if had_tier:  # lineage reads the overwrite target → must truncate
+            out = out.localCheckpoint(eager=True)
+        else:
+            out = out.persist()
+        stats = out.agg(
+            F.collect_set("bucket_date").alias("dates"),
+            F.max(
+                F.datediff(F.to_date("session_end"), F.to_date("session_start"))
+            ).alias("span"),
+        ).first()
+        out_dates = set(stats["dates"])
+        max_span = int(stats["span"] or 0)
+        if max_span > horizon:  # widen BEFORE the write (over-estimate safe)
+            _record_session_horizon(tier_dir, max_span)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_date")
+            .parquet(tier_dir)
         )
-    out = merged.withColumn("bucket_date", F.to_date("session_start"))
-    if had_tier:  # lineage reads the overwrite target → must truncate
-        out = out.localCheckpoint(eager=True)
-    out_dates = {r[0] for r in out.select("bucket_date").distinct().collect()}
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket_date")
-        .parquet(tier_dir)
-    )
-    for d in read_dates:  # emptied partitions: metadata-sized cleanup
-        if d not in out_dates:
-            shutil.rmtree(f"{tier_dir}/bucket_date={d}", ignore_errors=True)
-    if epoch_id is not None:
-        _record_epoch(tier_dir, epoch_id)
+        for d in read_dates:  # emptied partitions: metadata-sized cleanup
+            if d not in out_dates:
+                shutil.rmtree(f"{tier_dir}/bucket_date={d}", ignore_errors=True)
+        if not had_tier:
+            out.unpersist()
+        if epoch_id is not None:
+            _record_epoch(tier_dir, epoch_id)
+    finally:
+        new.unpersist()
 
 
 _SESSION_TIER_COLS = [

@@ -23,7 +23,9 @@ equivalent implemented here:
   apply — effectively-once for the tier, except for a crash landing in
   the narrow window between the tier write finishing and the atomic
   ``_epoch.json`` rename; closing that window needs a transactional table
-  format (the Iceberg ``overwritePartitions`` gate in sources/iceberg.py).
+  format — ``sources/iceberg.upsert_batch_iceberg`` ships exactly that
+  (epoch id committed atomically IN the data snapshot's summary), gated on
+  the runtime jar and exercised by tests/test_iceberg_gate.py.
   The reference's PK-dedup contract maps to "a (conv_id, turn_idx) turn
   is applied once".
 
@@ -99,11 +101,36 @@ def _last_applied_epoch(tier_dir: str) -> int:
         return -1
 
 
-def _record_epoch(tier_dir: str, epoch_id: int) -> None:
-    """Atomically (tmp + rename) record the applied epoch beside the tier."""
+def _pending_refresh_dates(tier_dir: str) -> list:
+    """Days whose coarser-tier refresh was recorded as owed but not yet
+    completed (crash between the 1min epoch record and the 1h/1d refresh —
+    round-4 ADVICE fix: without this marker a replayed epoch returned
+    dates=[] and the coarser tiers stayed stale forever)."""
+    import datetime as dt
+
+    try:
+        with open(os.path.join(tier_dir, "_epoch.json")) as f:
+            raw = json.load(f).get("pending_refresh", [])
+        return [dt.date.fromisoformat(d) for d in raw]
+    except (OSError, ValueError, KeyError):
+        return []
+
+
+def _record_epoch(
+    tier_dir: str, epoch_id: int, pending_refresh: list | None = None
+) -> None:
+    """Atomically (tmp + rename) record the applied epoch beside the tier.
+    ``pending_refresh`` marks days still owing a coarser-tier refresh; the
+    cascade records them WITH the epoch and clears them (a second record
+    with pending_refresh=None) only after the refresh completes — the
+    refresh itself is idempotent (recomputed from the 1min tier), so a
+    replay re-running it is safe."""
     tmp = os.path.join(tier_dir, "_epoch.json.tmp")
+    payload: dict = {"last_epoch": epoch_id}
+    if pending_refresh:
+        payload["pending_refresh"] = [d.isoformat() for d in pending_refresh]
     with open(tmp, "w") as f:
-        json.dump({"last_epoch": epoch_id}, f)
+        json.dump(payload, f)
     os.replace(tmp, os.path.join(tier_dir, "_epoch.json"))
 
 
@@ -112,6 +139,7 @@ def upsert_batch(
     turns: DataFrame,
     tier_dir: str,
     epoch_id: int | None = None,
+    pending_refresh: bool = False,
 ) -> list:
     """Merge one batch of raw turns into the partial-1min tier at
     ``tier_dir`` (day-partitioned parquet). Returns the affected days.
@@ -119,43 +147,57 @@ def upsert_batch(
     When ``epoch_id`` is given (the foreachBatch micro-batch id, strictly
     increasing per checkpoint), an epoch at or below the tier's recorded
     ``_epoch.json`` watermark is skipped — the idempotent-apply half of
-    the effectively-once contract (see module docstring)."""
+    the effectively-once contract (see module docstring).
+    ``pending_refresh=True`` (cascade caller) records the affected days as
+    owing a coarser-tier refresh alongside the epoch, so a crash before
+    the refresh completes is replayed instead of silently skipped."""
     if epoch_id is not None and epoch_id <= _last_applied_epoch(tier_dir):
         return []
+    # persist: dates collect + merge/write would re-aggregate the raw
+    # micro-batch twice otherwise (round-4 ADVICE fix)
     newp = partial_1min(turns).withColumn(
         "bucket_date", F.to_date("bucket_start")
-    )
-    dates = [r["bucket_date"] for r in newp.select("bucket_date").distinct().collect()]
-    if not dates:
-        return []
-    merged = newp
-    if os.path.isdir(tier_dir) and any(
-        not f.startswith("_") for f in os.listdir(tier_dir)
-    ):
-        existing = spark.read.parquet(tier_dir).filter(
-            F.col("bucket_date").isin(dates)  # partition-pruned scan
-        )
-        merged = merge_partials(
-            existing.unionByName(newp).select(
-                "conv_id", "bucket_start", *PARTIAL_COLS
+    ).persist()
+    try:
+        dates = [
+            r["bucket_date"]
+            for r in newp.select("bucket_date").distinct().collect()
+        ]
+        if not dates:
+            return []
+        merged = newp
+        if os.path.isdir(tier_dir) and any(
+            not f.startswith("_") for f in os.listdir(tier_dir)
+        ):
+            existing = spark.read.parquet(tier_dir).filter(
+                F.col("bucket_date").isin(dates)  # partition-pruned scan
             )
-        ).withColumn("bucket_date", F.to_date("bucket_start"))
-        # truncate lineage ONLY when the plan reads the overwrite target
-        # (first-batch writes skip the double materialization)
-        merged = merged.localCheckpoint(eager=True)
-    (
-        merged.write.mode("overwrite")
-        # write-scoped dynamic overwrite: only the bucket_date partitions
-        # present in `merged` are replaced, and the shared session conf is
-        # untouched (a session-level set would silently change later
-        # static overwrites, e.g. checkpoint/maintenance writes)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket_date")
-        .parquet(tier_dir)
-    )
-    if epoch_id is not None:
-        _record_epoch(tier_dir, epoch_id)
-    return dates
+            merged = merge_partials(
+                existing.unionByName(newp).select(
+                    "conv_id", "bucket_start", *PARTIAL_COLS
+                )
+            ).withColumn("bucket_date", F.to_date("bucket_start"))
+            # truncate lineage ONLY when the plan reads the overwrite target
+            # (first-batch writes skip the double materialization)
+            merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            # write-scoped dynamic overwrite: only the bucket_date partitions
+            # present in `merged` are replaced, and the shared session conf is
+            # untouched (a session-level set would silently change later
+            # static overwrites, e.g. checkpoint/maintenance writes)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_date")
+            .parquet(tier_dir)
+        )
+        if epoch_id is not None:
+            _record_epoch(
+                tier_dir, epoch_id,
+                pending_refresh=dates if pending_refresh else None,
+            )
+        return dates
+    finally:
+        newp.unpersist()
 
 
 def stream_upsert_1min(
@@ -238,11 +280,27 @@ def upsert_batch_cascade(
     epoch_id: int | None = None,
 ) -> int:
     """One micro-batch: upsert the 1min tier, then refresh the coarser
-    tiers for the affected days only. Returns affected-day count. A
-    replayed epoch skips the 1min upsert AND the coarser refresh (the
-    coarser tiers derive from the unchanged 1min rows)."""
-    dates = upsert_batch(spark, turns, tier_1min_dir, epoch_id=epoch_id)
+    tiers for the affected days only.  Returns affected-day count.
+
+    Crash safety (round-4 ADVICE fix): the 1min upsert records the
+    affected days as ``pending_refresh`` atomically WITH its epoch, and
+    the marker is cleared only after the coarser refresh completes. A
+    replayed epoch therefore either skips everything (refresh finished
+    last time) or re-runs JUST the idempotent refresh for the recorded
+    days — the 1h/1d tiers can no longer be left permanently stale by a
+    crash between the epoch record and the refresh."""
+    if epoch_id is not None and epoch_id <= _last_applied_epoch(tier_1min_dir):
+        owed = _pending_refresh_dates(tier_1min_dir)
+        if owed:
+            refresh_coarser(spark, tier_1min_dir, coarser_dirs, owed)
+            _record_epoch(tier_1min_dir, _last_applied_epoch(tier_1min_dir))
+        return len(owed)
+    dates = upsert_batch(
+        spark, turns, tier_1min_dir, epoch_id=epoch_id, pending_refresh=True
+    )
     refresh_coarser(spark, tier_1min_dir, coarser_dirs, dates)
+    if epoch_id is not None and dates:
+        _record_epoch(tier_1min_dir, epoch_id)  # clears pending_refresh
     return len(dates)
 
 

@@ -96,7 +96,11 @@ def worker(cpus: int) -> None:
                 assume_partitioned=True,
             )
         ),
-        "gorilla_decode": lambda: noop(codec.decompress_conversations(enc)),
+        # decode: arrow (mapInArrow, the round-4 registry default) vs the
+        # pandas path it replaced — the delta is pure Arrow→pandas→Arrow
+        # conversion cost on identical kernels
+        "gorilla_decode": lambda: noop(codec.decompress_conversations_arrow(enc)),
+        "gorilla_decode_pandas": lambda: noop(codec.decompress_conversations(enc)),
         # as-of family
         "asof_keyed": lambda: noop(
             asof.asof_join_keyed(

@@ -88,6 +88,42 @@ spark.sql(
     "retain_last => 1)"
 )
 assert spark.table("ice.tsdb.transcripts").count() == t.count()
+
+# --- transactional epoch-gated tier upsert (round-4: closes the
+# write-then-rename crash window of streaming/upsert.py) ---
+from aisdb_spark.operators import rollup
+from aisdb_spark.sources.transcripts import with_value
+from aisdb_spark.streaming.upsert import merge_partials, partial_1min
+
+tv = with_value(load_transcripts(spark, sf_dir)).select(
+    "conv_id", "turn_idx", "ts", "value"
+)
+tier = "ice.tsdb.tier_1min"
+even = tv.filter(F.pmod("turn_idx", F.lit(2)) == 0)
+odd = tv.filter(F.pmod("turn_idx", F.lit(2)) == 1)
+assert ice.upsert_batch_iceberg(spark, even, tier, epoch_id=0)
+assert ice.last_applied_epoch_iceberg(spark, tier) == 0
+assert ice.upsert_batch_iceberg(spark, odd, tier, epoch_id=1)
+# replayed epoch: no-op, no new snapshot (data + epoch were ONE commit)
+n_snaps = spark.sql(f"SELECT count(*) FROM {tier}.snapshots").first()[0]
+assert ice.upsert_batch_iceberg(spark, odd, tier, epoch_id=1) == []
+assert spark.sql(f"SELECT count(*) FROM {tier}.snapshots").first()[0] == n_snaps
+assert ice.last_applied_epoch_iceberg(spark, tier) == 1
+# epoch rides in the LATEST snapshot's own summary, not a side file
+latest = spark.sql(
+    f"SELECT summary['aisdb.epoch'] FROM {tier}.snapshots "
+    "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+).first()[0]
+assert latest == "1", latest
+# converged tier == one-shot batch partials
+exp = merge_partials(partial_1min(tv))
+got = spark.table(tier).drop("bucket_date")
+assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+# public surface equals the batch rollup
+pub = got.select("conv_id", "bucket_start", "n_turns", "sum_value",
+                 "min_value", "max_value", "first_value", "last_value")
+exp_pub = rollup.temporal_bin(tv, "minute")
+assert pub.exceptAll(exp_pub).count() == 0
 print("ICEBERG_OK")
 """
 

@@ -145,3 +145,34 @@ def test_partial_merge_is_algebraic(spark):
     merged = ups.merge_partials(a.unionByName(b))
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_cascade_crash_before_refresh_is_replayed(spark, tmp_path):
+    """Round-4 ADVICE fix: a crash between the 1min epoch record and the
+    coarser refresh must NOT leave 1h/1d permanently stale. The 1min
+    upsert records the affected days as pending_refresh with its epoch;
+    a replayed epoch re-runs just the idempotent refresh and clears the
+    marker."""
+    tv = _tv(spark).cache()
+    t1 = str(tmp_path / "t1min")
+    dirs = {"1h": str(tmp_path / "t1h"), "1d": str(tmp_path / "t1d")}
+    # simulate the crash: 1min upsert + epoch record happen (with the
+    # pending marker), but the process dies before refresh_coarser
+    dates = ups.upsert_batch(spark, tv, t1, epoch_id=0, pending_refresh=True)
+    assert dates and sorted(ups._pending_refresh_dates(t1)) == sorted(dates)
+    import os
+
+    assert not os.path.isdir(dirs["1h"])  # refresh never ran
+    # foreachBatch replays the same epoch after restart
+    n = ups.upsert_batch_cascade(spark, tv, t1, dirs, epoch_id=0)
+    assert n == len(dates)  # the owed refresh ran
+    assert ups._pending_refresh_dates(t1) == []  # marker cleared
+    exp_1m = rollup.temporal_bin(tv, "minute")
+    exp_1h = rollup.tier_from_finer(exp_1m, "hour")
+    exp_1d = rollup.tier_from_finer(exp_1h, "day")
+    for path, exp in ((dirs["1h"], exp_1h), (dirs["1d"], exp_1d)):
+        got = spark.read.parquet(path).drop("bucket_date")
+        assert got.exceptAll(exp).count() == 0, path
+        assert exp.exceptAll(got).count() == 0, path
+    # a second replay of the settled epoch is now a complete no-op
+    assert ups.upsert_batch_cascade(spark, tv, t1, dirs, epoch_id=0) == 0
