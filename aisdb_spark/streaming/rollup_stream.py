@@ -187,28 +187,159 @@ _ROLLUP_TIER_COLS = [
     "last_cents",
 ]
 
+# merge-state columns: the (ts, event_id) total-order boundaries that make
+# first/last re-mergeable across micro-batches — the events twin of the
+# transcripts tier's ti_min/ti_max trick (streaming/upsert.PARTIAL_COLS)
+_ROLLUP_PARTIAL_COLS = _ROLLUP_TIER_COLS[2:] + [
+    "first_ts", "first_id", "last_ts", "last_id",
+]
+
+
+def rollup_partials_events(events: DataFrame) -> DataFrame:
+    """Raw events → mergeable 1min partials: the public measures PLUS the
+    (ts, event_id) order boundaries that witnessed first/last. Re-merging
+    partials over ANY grouping of the input reproduces the one-shot
+    :func:`rollup_measures` answer because every carried measure is
+    algebraic."""
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withColumn("cents", F.expr("CAST(floor(value * 100) AS BIGINT)"))
+        .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.min_by("cents", order).alias("first_cents"),
+            F.max_by("cents", order).alias("last_cents"),
+            F.min(order).alias("_fo"),
+            F.max(order).alias("_lo"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "user_id",
+            "n_events",
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+            "first_cents",
+            "last_cents",
+            F.col("_fo.ts").alias("first_ts"),
+            F.col("_fo.event_id").alias("first_id"),
+            F.col("_lo.ts").alias("last_ts"),
+            F.col("_lo.event_id").alias("last_id"),
+        )
+    )
+
+
+def merge_rollup_partials(parts: DataFrame) -> DataFrame:
+    """Algebraic merge of 1min event partials sharing (bucket_start,
+    user_id) — commutative and associative, so micro-batch boundaries and
+    arrival order cannot change the result."""
+    fo = F.struct(F.col("first_ts").alias("ts"), F.col("first_id").alias("event_id"))
+    lo = F.struct(F.col("last_ts").alias("ts"), F.col("last_id").alias("event_id"))
+    return (
+        parts.groupBy("bucket_start", "user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+            F.min_by("first_cents", fo).alias("first_cents"),
+            F.max_by("last_cents", lo).alias("last_cents"),
+            F.min(fo).alias("_fo"),
+            F.max(lo).alias("_lo"),
+        )
+        .select(
+            "bucket_start", "user_id", "n_events", "sum_cents", "min_cents",
+            "max_cents", "first_cents", "last_cents",
+            F.col("_fo.ts").alias("first_ts"),
+            F.col("_fo.event_id").alias("first_id"),
+            F.col("_lo.ts").alias("last_ts"),
+            F.col("_lo.event_id").alias("last_id"),
+        )
+    )
+
+
+def upsert_rollup_partials_batch(
+    spark: SparkSession, events_batch: DataFrame, tier_dir: str,
+    epoch_id: int | None = None,
+) -> None:
+    """Merge one micro-batch of RAW events into the partial-carrying 1min
+    tier: aggregate the batch to mergeable partials, algebraically merge
+    with the existing rows of ONLY the touched day partitions, dynamic
+    partition overwrite. The tier IS the cross-batch state — there is no
+    streaming state store (see :func:`drained_rollup_1min` for why that
+    matters at scale). Epoch replays are skipped via ``_epoch.json``."""
+    from aisdb_spark.streaming.upsert import _last_applied_epoch, _record_epoch
+
+    if epoch_id is not None and epoch_id <= _last_applied_epoch(tier_dir):
+        return
+    newp = rollup_partials_events(events_batch).withColumn(
+        "bucket_date", F.to_date("bucket_start")
+    ).persist()
+    try:
+        dates = [r[0] for r in newp.select("bucket_date").distinct().collect()]
+        if not dates:
+            return
+        merged = newp
+        if _tier_nonempty(tier_dir):
+            existing = spark.read.parquet(tier_dir).filter(
+                F.col("bucket_date").isin(dates)  # partition-pruned scan
+            )
+            merged = merge_rollup_partials(
+                existing.unionByName(newp).select(
+                    "bucket_start", "user_id", *_ROLLUP_PARTIAL_COLS
+                )
+            ).withColumn("bucket_date", F.to_date("bucket_start"))
+            # lineage reads the overwrite target → truncate (first-batch
+            # writes skip the double materialization)
+            merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_date")
+            .parquet(tier_dir)
+        )
+        if epoch_id is not None:
+            _record_epoch(tier_dir, epoch_id)
+    finally:
+        newp.unpersist()
+
 
 def drained_rollup_1min(
     spark: SparkSession, landing: str, glob: str | None = None,
     out_base: str | None = None,
 ) -> DataFrame:
-    """Run the full streaming path to completion through the update-mode
-    foreachBatch tier upsert and return the tier read-back (the
-    driver-query surface for SURVEY §2.8)."""
+    """Run the streaming rollup to completion scalably and return the tier
+    read-back (the driver-query surface for SURVEY §2.8).
+
+    Round 4: the drain streams RAW events through ``foreachBatch`` into
+    the partial-carrying tier (:func:`upsert_rollup_partials_batch`) —
+    the tier itself is the cross-batch state, and there is NO streaming
+    state store. The round-3 drain (stateful update-mode aggregation +
+    replace-by-key upsert) was measured at 20M events / 7 micro-batches
+    (BENCH_LARGE.json "streaming_drain" history): with no watermark a
+    finite drain accumulates EVERY key in the HDFS-backed state store
+    (20M keys), and the per-partition delta+snapshot IO made local[32]
+    3x SLOWER than local[8]. Algebraic partial merge pays batch-agg +
+    touched-partition merge only, needs no watermark to be lossless for
+    arbitrarily late rows, and per-batch cost ∝ updated keys + touched
+    partitions (measured, same file). The native watermarked update-mode
+    operator (:func:`stream_rollup_1min` + :func:`upsert_rollup_batch`)
+    remains the continuous-pipeline path, pytest-covered."""
     import tempfile
 
+    normalize_session(spark)
     base = out_base or tempfile.mkdtemp(prefix="spark_stream_rollup_")
     tier, ck = f"{base}/tier", f"{base}/ck"
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    src = ensure_ltz(reader.parquet(landing))
     q = (
-        # watermark=None: a finite drain must absorb EVERY row, however
-        # late — a watermark would drop late rows across micro-batch
-        # boundaries and diverge the tier from the batch oracle (the
-        # session drain below already streams raw events unwatermarked
-        # for the same reason)
-        stream_rollup_1min(spark, landing, watermark=None, glob=glob)
-        .writeStream.outputMode("update")
-        .foreachBatch(
-            lambda b, e: upsert_rollup_batch(spark, b, tier, epoch_id=e)
+        src.writeStream.foreachBatch(
+            lambda b, e: upsert_rollup_partials_batch(spark, b, tier, epoch_id=e)
         )
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
