@@ -55,6 +55,10 @@ IPC_MIN = 0.80
 WAIT_S = 60
 RUNS_DIR = "scaling_runs"
 N_BASE = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+# Per-round trial series: archives are {SERIES}_trial_NN.json so each
+# round's batch is a distinguishable, independently-resumable ledger and
+# prior rounds' archives are never renumbered or clobbered.
+SERIES = os.environ.get("SPARK_GRAFT_SERIES", "r4")
 
 
 def pre_probe() -> dict:
@@ -87,7 +91,7 @@ def run_trial(idx: int, probe: dict) -> dict:
         env={**os.environ, "SPARK_GRAFT_SCALE_N": str(N_BASE)},
     )
     rec = json.loads(out.stdout.strip().splitlines()[-1])
-    rec["run_label"] = f"r3 trial {idx}"
+    rec["run_label"] = f"{SERIES} trial {idx}"
     rec["pre_probe"] = probe
     post_ok = (
         rec["memory_bus_probe"]["ceiling_efficiency"] >= BUS_MIN
@@ -101,7 +105,7 @@ def run_trial(idx: int, probe: dict) -> dict:
             "pre-registered rule (probe-based, result-blind)"
         )
     os.makedirs(RUNS_DIR, exist_ok=True)
-    with open(f"{RUNS_DIR}/r3_trial_{idx:02d}.json", "w") as f:
+    with open(f"{RUNS_DIR}/{SERIES}_trial_{idx:02d}.json", "w") as f:
         json.dump(rec, f, indent=1)
     return rec
 
@@ -114,6 +118,7 @@ def summarize(trials: list[dict]) -> dict:
         return round(statistics.median(vals), 3) if vals else None
 
     return {
+        "series": SERIES,
         "protocol": (
             f"pre-registered calm-window ledger (this file, committed before "
             f"any trial): start a trial only when short-form pre-probes clear "
@@ -145,7 +150,7 @@ def load_existing() -> tuple[list[dict], int]:
     import glob
 
     trials, idx = [], 0
-    for p in sorted(glob.glob(f"{RUNS_DIR}/r3_trial_*.json")):
+    for p in sorted(glob.glob(f"{RUNS_DIR}/{SERIES}_trial_*.json")):
         with open(p) as f:
             trials.append(json.load(f))
         idx = max(idx, int(p.rsplit("_", 1)[1].split(".")[0]))

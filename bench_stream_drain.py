@@ -179,6 +179,28 @@ def worker(cpus: int) -> None:
     sess_sec = time.monotonic() - t_sess0
     sess_rows = spark.read.parquet(sess_tier).count()
 
+    # decomposition of one worst-case uniform wave: the merge COMPUTE
+    # (batch agg + union + merge-agg, noop sink) vs the tier REWRITE
+    # (parquet zstd of the full merged output) — attributes the uniform
+    # waves' cost between scalable compute and this VM's shared-disk IO
+    from aisdb_spark.sources.normalize import read_parquet as _rp
+
+    w5 = _rp(spark, f"{landing}/w5")
+    newp = rs.rollup_partials_events(w5)
+    merged = rs.merge_rollup_partials(
+        spark.read.parquet(rollup_tier)
+        .select("bucket_start", "user_id", *rs._ROLLUP_PARTIAL_COLS)
+        .unionByName(newp)
+    )
+    t0 = time.monotonic()
+    merged.write.format("noop").mode("overwrite").save()
+    merge_compute_sec = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    merged.withColumn("bucket_date", F.to_date("bucket_start")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket_date").parquet(f"{base}/scratch_tier")
+    rewrite_sec = round(time.monotonic() - t0, 2)
+
     shutil.rmtree(base, ignore_errors=True)
     print(
         json.dumps(
@@ -187,6 +209,10 @@ def worker(cpus: int) -> None:
                 "n_events": n,
                 "tiny_rows": tiny_rows,
                 "prep_sec": round(prep_sec, 2),
+                "uniform_wave_decomposition": {
+                    "merge_compute_noop_sec": merge_compute_sec,
+                    "tier_rewrite_parquet_sec": rewrite_sec,
+                },
                 "rollup": {
                     "total_sec": round(rollup_sec, 2),
                     "rows_per_sec": round(n / rollup_sec, 1),
@@ -248,6 +274,10 @@ def main() -> None:
         "local4N": f_,
         "rollup_efficiency": eff("rollup"),
         "sessions_efficiency": eff("sessions"),
+        "uniform_wave_decomposition": {
+            "localN": n_.get("uniform_wave_decomposition"),
+            "local4N": f_.get("uniform_wave_decomposition"),
+        },
         "cost_proportionality_rollup": tiny_vs_uniform("rollup"),
         "cost_proportionality_sessions": tiny_vs_uniform("sessions"),
         "note": (
