@@ -189,6 +189,13 @@ def main() -> None:
             "local[32] both pools breathe."
         ),
     }
+    # preserve sections other benches own (bench_stream_drain.py writes
+    # streaming_drain / replaced_statestore_drain into the same file)
+    if os.path.exists("BENCH_LARGE.json"):
+        with open("BENCH_LARGE.json") as f:
+            prior = json.load(f)
+        for k, v in prior.items():
+            summary.setdefault(k, v)
     with open("BENCH_LARGE.json", "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: v for k, v in summary.items() if k not in ("localN", "local4N")}))
