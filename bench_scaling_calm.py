@@ -227,3 +227,15 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+# R4 EXTENSION (pre-registered 2026-08-17, committed BEFORE extension
+# trial 13 starts — verifiable from git history): the original r4 batch
+# reached its 5-admitted target with trial 12 admitted at 0.528 compute
+# efficiency — a result-blind admission (settled probe cleared) sitting
+# >3 sigma below the other four admitted trials (0.733-0.884) and below
+# every round-2/3 admitted trial ever recorded, suggesting probe-invisible
+# interference. Rule: run EXACTLY three additional admitted trials
+# (admit_target 5 -> 8) under the identical v2 protocol; every started
+# trial is archived verbatim and counted; BASELINE.md reports BOTH the
+# 5-admitted and the 8-admitted medians plus the unfiltered all-trials
+# median. No trial is ever removed from the ledger.
