@@ -16,6 +16,10 @@ suite's wall clock bounded without dropping expensive stages.
 
 Usage: python bench_large.py              # both levels + summary
        python bench_large.py --worker N   # one level (internal)
+       SPARK_GRAFT_BL_STAGES=gorilla_encode,gorilla_decode python bench_large.py
+           # re-measure only the named stages; their numbers are merged
+           # into the existing BENCH_LARGE.json stage sets (totals and
+           # per-stage efficiency recomputed over the merged sets)
 """
 
 from __future__ import annotations
@@ -125,6 +129,14 @@ def worker(cpus: int) -> None:
         ),
     }
 
+    only = os.environ.get("SPARK_GRAFT_BL_STAGES")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        unknown = keep - stages.keys()
+        if unknown:
+            raise SystemExit(f"unknown stages: {sorted(unknown)}")
+        stages = {k: v for k, v in stages.items() if k in keep}
+
     result: dict = {"cpus": cpus, "n_turns": n, "stages": {}, "reps": {}}
     for name, fn in stages.items():
         t0 = time.monotonic()
@@ -158,6 +170,21 @@ def main() -> None:
             sys.exit(1)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
     n_, f_ = results[min(results)], results[max(results)]
+    # stage-filtered rerun: merge fresh numbers over the prior full stage
+    # sets so a codec-only rerun updates those stages in place
+    if os.environ.get("SPARK_GRAFT_BL_STAGES") and os.path.exists("BENCH_LARGE.json"):
+        with open("BENCH_LARGE.json") as f:
+            prior = json.load(f)
+        for fresh, side in ((n_, "localN"), (f_, "local4N")):
+            for k in ("stages", "reps"):
+                merged = dict(prior.get(side, {}).get(k, {}))
+                merged.update(fresh[k])
+                fresh[k] = merged
+            total = sum(fresh["stages"].values())
+            fresh["total_sec"] = round(total, 2)
+            fresh["suite_turns_per_sec"] = round(
+                fresh["n_turns"] * len(fresh["stages"]) / total, 1
+            )
     factor = max(results) // min(results)
     summary = {
         "metric": (
