@@ -184,6 +184,14 @@ def asof_cumulative_count(
     )
 
 
+# Hard bound on the driver-collected broadcast reference. The reference
+# series this mirrors is dim-sized by construction (the raster grid is
+# likewise bounded — aisdb/webdata/load_raster.py:27-79); past ~10M
+# entries the collect+broadcast risks driver OOM and the distributed
+# as-of join is the right tool, so fail loudly instead of degrading.
+ASOF_BROADCAST_MAX = 10_000_000
+
+
 def asof_lookup_broadcast(
     spark: SparkSession,
     left: DataFrame,
@@ -194,7 +202,17 @@ def asof_lookup_broadcast(
 ) -> DataFrame:
     """Global (un-keyed) backward as-of lookup against a broadcast sorted
     reference — vectorized ``np.searchsorted`` (binarysearch_vector analog).
-    Rows before the first reference point get NULL."""
+    Rows before the first reference point get NULL. The reference must be
+    dim-sized (≤ :data:`ASOF_BROADCAST_MAX` entries); larger series belong
+    in :func:`asof_join_keyed`, the distributed as-of join."""
+    n_ref = len(ref_ts_us)
+    if n_ref > ASOF_BROADCAST_MAX:
+        raise ValueError(
+            f"asof_lookup_broadcast reference has {n_ref} entries "
+            f"(> ASOF_BROADCAST_MAX={ASOF_BROADCAST_MAX}): a driver-side "
+            "broadcast this size risks OOM — use asof_join_keyed (add a "
+            "constant key to both sides for a global as-of) instead"
+        )
     b_ts = spark.sparkContext.broadcast(np.asarray(ref_ts_us, dtype=np.int64))
     b_v = spark.sparkContext.broadcast(np.asarray(ref_vals, dtype=np.float64))
 

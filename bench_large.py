@@ -159,6 +159,18 @@ def worker(cpus: int) -> None:
 
 
 def main() -> None:
+    # A stage-filtered run is only meaningful as an in-place update of an
+    # existing full-suite file: without one, the output would carry
+    # full-suite-looking total_sec/suite_turns_per_sec computed from the
+    # filtered stages alone — indistinguishable from a complete run
+    # (round-4 ADVICE). Refuse up front, before the expensive levels run.
+    if os.environ.get("SPARK_GRAFT_BL_STAGES") and not os.path.exists(
+        "BENCH_LARGE.json"
+    ):
+        sys.exit(
+            "SPARK_GRAFT_BL_STAGES is set but there is no BENCH_LARGE.json "
+            "to merge into — run the full suite first, then rerun filtered"
+        )
     results = {}
     for cpus in LEVELS:
         out = subprocess.run(

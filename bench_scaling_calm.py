@@ -231,7 +231,8 @@ if __name__ == "__main__":
 # R4 EXTENSION (pre-registered 2026-08-17, committed BEFORE extension
 # trial 13 starts — verifiable from git history): the original r4 batch
 # reached its 5-admitted target with trial 12 admitted at 0.528 compute
-# efficiency — a result-blind admission (settled probe cleared) sitting
+# efficiency — a result-blind admission (inline post-probe cleared:
+# bus 0.808 / ipc 0.869; no settled probe was taken) sitting
 # >3 sigma below the other four admitted trials (0.733-0.884) and below
 # every round-2/3 admitted trial ever recorded, suggesting probe-invisible
 # interference. Rule: run EXACTLY three additional admitted trials
