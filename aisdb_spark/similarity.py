@@ -137,6 +137,23 @@ NEARDUP_R = 4
 NEARDUP_B = 4
 
 
+def neardup_r_for(n_docs: int, target_bucket: int = 32, r_min: int = NEARDUP_R) -> int:
+    """Bits per hyperplane band sized to the corpus: expected bucket
+    occupancy for isotropic vectors is n/2^r, so r must grow with
+    log2(n) or the per-bucket self-join goes quadratic — at the default
+    r=4 (right for the 500-doc oracle: 500/16 ≈ 31/bucket) a 10⁶-doc
+    corpus would put ~62.5k docs in every bucket (~2e9 candidate pairs
+    per band). With r = log2(n/32), near-EXACT duplicates still collide
+    reliably: a pair at cosine ≥ 0.99 (θ ≤ 8°) matches one r=20 band
+    with p = (1-θ/π)^20 ≈ 0.40, and ≥0.999 with p ≈ 0.85 — across b=4
+    bands that is ≥0.87 / ≥0.999 recall, the dedup regime this operator
+    serves. Measured at 10⁶ docs in bench_similarity_large.py
+    (predicted vs observed occupancy in BENCH_LARGE.json)."""
+    import math
+
+    return max(r_min, math.ceil(math.log2(max(1, n_docs) / target_bucket)))
+
+
 def _band_key_expr(planes: np.ndarray, band: int, r: int, duck: bool) -> str:
     terms = []
     for j in range(r):
@@ -144,6 +161,23 @@ def _band_key_expr(planes: np.ndarray, band: int, r: int, duck: bool) -> str:
         dot = _dot_expr("embedding", _vec_literal(p, duck), duck)
         terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def cosine_band_rows(
+    emb: DataFrame, planes: np.ndarray, r: int, b: int
+) -> DataFrame:
+    """(vec_id, band, bkey) hyperplane sign-pattern band rows over an
+    embeddings frame — shared by cosine_near_pairs and the large-corpus
+    occupancy measurement (bench_similarity_large.py)."""
+    bands = None
+    for i in range(b):
+        part = emb.select(
+            "vec_id",
+            F.lit(i).alias("band"),
+            F.expr(_band_key_expr(planes, i, r, duck=False)).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
 
 
 def cosine_near_pairs(
@@ -161,14 +195,7 @@ def cosine_near_pairs(
         "embedding",
         F.expr(f"sqrt({_dot_expr('embedding', 'embedding', False)})").alias("nrm"),
     )
-    bands = None
-    for i in range(b):
-        part = emb.select(
-            "vec_id",
-            F.lit(i).alias("band"),
-            F.expr(_band_key_expr(planes, i, r, duck=False)).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = cosine_band_rows(emb, planes, r, b)
     l, rr = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(

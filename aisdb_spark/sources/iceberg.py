@@ -73,9 +73,11 @@ def overwrite_partitions(df: DataFrame, table: str) -> None:
 # Transactional epoch-gated tier upsert (round-3 verdict item 2).
 #
 # The parquet path (streaming/upsert.py) applies a micro-batch with
-# tier-write THEN an atomic ``_epoch.json`` rename — leaving a documented
-# crash window between the two in which a replay double-merges. With an
-# Iceberg catalog both become ONE commit: the epoch id rides in the
+# tier-write THEN an atomic ``_epoch.json`` rename; since round 5 the
+# journaled partition swap (streaming/txn.py) rolls an uncommitted write
+# back on replay, so that path is also effectively-once — at the cost of
+# a recovery pass and backup renames. With an Iceberg catalog no recovery
+# machinery is needed because both become ONE commit: the epoch id rides in the
 # snapshot summary of the very ``overwritePartitions`` that applies the
 # data, so a crash before the commit leaves old-data+old-epoch and a crash
 # after leaves new-data+new-epoch — no in-between state exists. This is the

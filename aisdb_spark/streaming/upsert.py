@@ -20,14 +20,18 @@ equivalent implemented here:
   the last applied micro-batch epoch in ``_epoch.json`` so a replayed
   epoch (crash after tier write, before checkpoint commit) is skipped
   idempotently. The guarantee is at-least-once delivery + idempotent
-  apply — effectively-once for the tier, except for a crash landing in
-  the narrow window between the tier write finishing and the atomic
-  ``_epoch.json`` rename; closing that window needs a transactional table
-  format — ``sources/iceberg.upsert_batch_iceberg`` ships exactly that
-  (epoch id committed atomically IN the data snapshot's summary), gated on
-  the runtime jar and exercised by tests/test_iceberg_gate.py.
-  The reference's PK-dedup contract maps to "a (conv_id, turn_idx) turn
-  is applied once".
+  apply — effectively-once for the tier. Rounds 1-4 documented one
+  residual window (a crash between the tier write finishing and the
+  ``_epoch.json`` rename left a half-applied batch the replay would
+  double-count); round 5 closed it with the journaled partition-swap
+  commit in ``streaming/txn.py`` — touched partitions are renamed to a
+  backup under a write-ahead journal, the epoch record is the atomic
+  commit point, and :func:`txn.recover` rolls an uncommitted write back
+  to the exact pre-batch tier so the source's replay applies cleanly.
+  ``sources/iceberg.upsert_batch_iceberg`` remains the single-commit
+  transactional path where the runtime jar exists (gated, exercised by
+  tests/test_iceberg_gate.py). The reference's PK-dedup contract maps to
+  "a (conv_id, turn_idx) turn is applied once".
 
 Invariant (tested): after draining ANY split of the input into micro-batch
 files — including late files that revisit old buckets — the stored tier is
@@ -42,11 +46,10 @@ the dynamic overwrite becomes ``overwritePartitions()`` on the same keys.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from aisdb_spark.streaming import fsio, txn
 
 PARTIAL_COLS = [
     "n_turns",
@@ -93,47 +96,6 @@ def merge_partials(parts: DataFrame) -> DataFrame:
     )
 
 
-def _last_applied_epoch(tier_dir: str) -> int:
-    try:
-        with open(os.path.join(tier_dir, "_epoch.json")) as f:
-            return json.load(f)["last_epoch"]
-    except (OSError, ValueError, KeyError):
-        return -1
-
-
-def _pending_refresh_dates(tier_dir: str) -> list:
-    """Days whose coarser-tier refresh was recorded as owed but not yet
-    completed (crash between the 1min epoch record and the 1h/1d refresh —
-    round-4 ADVICE fix: without this marker a replayed epoch returned
-    dates=[] and the coarser tiers stayed stale forever)."""
-    import datetime as dt
-
-    try:
-        with open(os.path.join(tier_dir, "_epoch.json")) as f:
-            raw = json.load(f).get("pending_refresh", [])
-        return [dt.date.fromisoformat(d) for d in raw]
-    except (OSError, ValueError, KeyError):
-        return []
-
-
-def _record_epoch(
-    tier_dir: str, epoch_id: int, pending_refresh: list | None = None
-) -> None:
-    """Atomically (tmp + rename) record the applied epoch beside the tier.
-    ``pending_refresh`` marks days still owing a coarser-tier refresh; the
-    cascade records them WITH the epoch and clears them (a second record
-    with pending_refresh=None) only after the refresh completes — the
-    refresh itself is idempotent (recomputed from the 1min tier), so a
-    replay re-running it is safe."""
-    tmp = os.path.join(tier_dir, "_epoch.json.tmp")
-    payload: dict = {"last_epoch": epoch_id}
-    if pending_refresh:
-        payload["pending_refresh"] = [d.isoformat() for d in pending_refresh]
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-    os.replace(tmp, os.path.join(tier_dir, "_epoch.json"))
-
-
 def upsert_batch(
     spark: SparkSession,
     turns: DataFrame,
@@ -151,7 +113,8 @@ def upsert_batch(
     ``pending_refresh=True`` (cascade caller) records the affected days as
     owing a coarser-tier refresh alongside the epoch, so a crash before
     the refresh completes is replayed instead of silently skipped."""
-    if epoch_id is not None and epoch_id <= _last_applied_epoch(tier_dir):
+    txn.recover(spark, tier_dir)  # settle any crashed prior swap first
+    if epoch_id is not None and epoch_id <= txn.last_applied_epoch(spark, tier_dir):
         return []
     # persist: dates collect + merge/write would re-aggregate the raw
     # micro-batch twice otherwise (round-4 ADVICE fix)
@@ -166,9 +129,7 @@ def upsert_batch(
         if not dates:
             return []
         merged = newp
-        if os.path.isdir(tier_dir) and any(
-            not f.startswith("_") for f in os.listdir(tier_dir)
-        ):
+        if fsio.tier_nonempty(spark, tier_dir):
             existing = spark.read.parquet(tier_dir).filter(
                 F.col("bucket_date").isin(dates)  # partition-pruned scan
             )
@@ -177,24 +138,15 @@ def upsert_batch(
                     "conv_id", "bucket_start", *PARTIAL_COLS
                 )
             ).withColumn("bucket_date", F.to_date("bucket_start"))
-            # truncate lineage ONLY when the plan reads the overwrite target
-            # (first-batch writes skip the double materialization)
+            # materialize BEFORE the swap: the plan reads the partitions
+            # swap_commit renames away (and overwrite lineage must not
+            # read its own target); first-batch writes skip the double
+            # materialization
             merged = merged.localCheckpoint(eager=True)
-        (
-            merged.write.mode("overwrite")
-            # write-scoped dynamic overwrite: only the bucket_date partitions
-            # present in `merged` are replaced, and the shared session conf is
-            # untouched (a session-level set would silently change later
-            # static overwrites, e.g. checkpoint/maintenance writes)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket_date")
-            .parquet(tier_dir)
+        txn.swap_commit(
+            spark, tier_dir, merged, dates, epoch_id=epoch_id,
+            pending_refresh=dates if pending_refresh else None,
         )
-        if epoch_id is not None:
-            _record_epoch(
-                tier_dir, epoch_id,
-                pending_refresh=dates if pending_refresh else None,
-            )
         return dates
     finally:
         newp.unpersist()
@@ -289,18 +241,24 @@ def upsert_batch_cascade(
     last time) or re-runs JUST the idempotent refresh for the recorded
     days — the 1h/1d tiers can no longer be left permanently stale by a
     crash between the epoch record and the refresh."""
-    if epoch_id is not None and epoch_id <= _last_applied_epoch(tier_1min_dir):
-        owed = _pending_refresh_dates(tier_1min_dir)
+    txn.recover(spark, tier_1min_dir)  # settle any crashed prior swap
+    if epoch_id is not None and epoch_id <= txn.last_applied_epoch(
+        spark, tier_1min_dir
+    ):
+        owed = txn.pending_refresh_dates(spark, tier_1min_dir)
         if owed:
             refresh_coarser(spark, tier_1min_dir, coarser_dirs, owed)
-            _record_epoch(tier_1min_dir, _last_applied_epoch(tier_1min_dir))
+            txn.record_epoch(
+                spark, tier_1min_dir,
+                txn.last_applied_epoch(spark, tier_1min_dir),
+            )
         return len(owed)
     dates = upsert_batch(
         spark, turns, tier_1min_dir, epoch_id=epoch_id, pending_refresh=True
     )
     refresh_coarser(spark, tier_1min_dir, coarser_dirs, dates)
     if epoch_id is not None and dates:
-        _record_epoch(tier_1min_dir, epoch_id)  # clears pending_refresh
+        txn.record_epoch(spark, tier_1min_dir, epoch_id)  # clears pending
     return len(dates)
 
 

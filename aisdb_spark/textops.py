@@ -267,15 +267,14 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """MinHash-LSH: band signatures → self-join on band key → distinct
-    candidate pairs (doc1 < doc2), then exact-Jaccard verified ≥ 0.5 on
-    distinct 3-token shingle sets."""
+def minhash_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band rows — one explode pass instead of an
+    LSH_BANDS-way unionByName: the union re-evaluated the signature
+    aggregation per branch AND per self-join side; a single subtree lets
+    both join sides reuse one exchange (same fix as simhash_near_pairs —
+    see PLANS.md). Shared by lsh_candidate_pairs and the large-corpus
+    occupancy measurement (bench_similarity_large.py)."""
     mh = with_minhash(docs).filter(F.col("mh0").isNotNull())
-    # one explode pass instead of an LSH_BANDS-way unionByName: the union
-    # re-evaluated the signature aggregation per branch AND per self-join
-    # side; a single subtree lets both join sides reuse one exchange
-    # (same fix as simhash_near_pairs — see PLANS.md)
     key_structs = F.array(
         *[
             F.struct(
@@ -291,9 +290,16 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
-    allb = mh.select("doc_id", F.explode(key_structs).alias("bk")).select(
+    return mh.select("doc_id", F.explode(key_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH: band signatures → self-join on band key → distinct
+    candidate pairs (doc1 < doc2), then exact-Jaccard verified ≥ 0.5 on
+    distinct 3-token shingle sets."""
+    allb = minhash_band_rows(docs)
     left, right = allb.alias("l"), allb.alias("r")
     cand = (
         left.join(
@@ -369,17 +375,14 @@ def with_simhash(docs: DataFrame) -> DataFrame:
     return docs.join(sigs, "doc_id", "inner")
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup: Manku-style block-pair banding (10 bands of 24-bit
-    keys over 5×12-bit blocks — see SIMHASH_BAND_PAIRS for the occupancy
-    arithmetic), then verify Hamming distance via bit_count(xor). Full
-    recall for hamming ≤ SIMHASH_BLOCKS - 3 = 3 by pigeonhole."""
+def simhash_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, bkey) Manku block-pair band rows — ONE
+    explode pass: the old 10-way unionByName re-evaluated the signature
+    subtree per branch and per join side; with a single subtree both sides
+    of the self-join shuffle the SAME exchange (ReusedExchange in the
+    plan) — measured 7.2 s → see PLANS.md. Shared by simhash_near_pairs
+    and the large-corpus occupancy measurement."""
     sh = with_simhash(docs).select("doc_id", "simhash")
-    # ONE pass: explode each signature into its 10 (band, bkey) rows.
-    # The old 10-way unionByName re-evaluated the signature subtree per
-    # branch and per join side; with a single subtree both sides of the
-    # self-join shuffle the SAME exchange (ReusedExchange in the plan) —
-    # measured 7.2 s -> see PLANS.md.
     key_structs = F.array(
         *[
             F.struct(
@@ -389,9 +392,20 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             for i, (b1, b2) in enumerate(SIMHASH_BAND_PAIRS)
         ]
     )
-    bands = sh.select(
+    return sh.select(
         "doc_id", "simhash", F.explode(key_structs).alias("bk")
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    ).select(
+        "doc_id", "simhash",
+        F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"),
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: Manku-style block-pair banding (10 bands of 24-bit
+    keys over 5×12-bit blocks — see SIMHASH_BAND_PAIRS for the occupancy
+    arithmetic), then verify Hamming distance via bit_count(xor). Full
+    recall for hamming ≤ SIMHASH_BLOCKS - 3 = 3 by pigeonhole."""
+    bands = simhash_band_rows(docs)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -413,6 +427,24 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand
 
 
+def ngram_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey): each of the 8 minhash values as its own band
+    (8 bands x 1 row) in a single explode pass (not an 8-way union) — one
+    signature subtree, one exchange reused by both self-join sides (see
+    PLANS.md). Shared by ngram_jaccard_pairs and the large-corpus
+    occupancy measurement."""
+    mh = with_minhash(docs).filter(F.col("mh0").isNotNull())
+    key_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("bkey"))
+            for i in range(len(MINHASH_COEFFS))
+        ]
+    )
+    return mh.select("doc_id", F.explode(key_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     """n-gram Jaccard near-dup, blocked on single-minhash LSH bands.
 
@@ -423,18 +455,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     cardinality so bucket occupancy stays O(duplicate-cluster size), not
     O(corpus/256). Verification is exact Jaccard on distinct shingle sets.
     """
-    mh = with_minhash(docs).filter(F.col("mh0").isNotNull())
-    # single explode pass (not an 8-way union) — one signature subtree,
-    # one exchange reused by both self-join sides (see PLANS.md)
-    key_structs = F.array(
-        *[
-            F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("bkey"))
-            for i in range(len(MINHASH_COEFFS))
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(key_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-    )
+    bands = ngram_band_rows(docs)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(

@@ -10,6 +10,19 @@ pipeline cost, no driver collect skew).
 Scaling-efficiency evidence (N vs 4N) is produced by bench_scaling.py,
 which runs this file at local[8] and local[32] on identical input and
 writes BENCH/BASELINE.md.
+
+Round 5: the output self-documents box state. BENCH_r04 was taken during
+a sustained box storm (untouched queries slowed a uniform ~24%), which
+was only diagnosable after the fact by cross-referencing the scaling
+ledger's probes. Now the same short-form hardware probes the calm-window
+ledger uses (bench_scaling_calm.pre_probe: STREAM-triad bus + pipe IPC
+ceilings at N vs 4N process counts) run before and after the suite and
+ride in the JSON as `pre_probe` / `post_probe` / `calm` — a stormy
+measurement is flagged the moment it is recorded, not a round later.
+Disable with SPARK_GRAFT_BENCH_PROBES=0 (e.g. inside bench_scaling.py
+whose levels probe already). `query_variants` annotates the queries that
+carry multiple folded registry variants (round-4 fold), so a future
+reader doesn't misread content growth as regression.
 """
 
 from __future__ import annotations
@@ -60,12 +73,34 @@ HEADLINE = [
 ]
 
 
+# queries that fold several registry variants into one timed entry
+# (round-4 registry fold): their absolute time covers MORE work than the
+# same key did in BENCH_r01-r03 — annotate so growth isn't misread
+QUERY_VARIANTS = {
+    "gorilla_roundtrip": "2 codec passes: arrow mapInArrow + chunked pandas",
+    "salted_rollup_1min": "2 inputs: uniform + adversarial-skew union",
+    "turn_deltas": "+4 scalar-surface columns (shiftcoord/dt_2_epoch/sanitize)",
+    "streaming_user_sessions": "adaptive-horizon bookkeeping since r4",
+}
+
+PROBES = os.environ.get("SPARK_GRAFT_BENCH_PROBES", "1") != "0"
+
+
+def _probe():
+    if not PROBES:
+        return None
+    import bench_scaling_calm as bc
+
+    return bc.pre_probe()
+
+
 def main() -> None:
     from aisdb_spark import checkpoint
     from aisdb_spark.queries import QUERIES
     from aisdb_spark.session import get_spark
     from aisdb_spark.sources.transcripts import load_transcripts, with_value
 
+    pre = _probe()  # before the JVM exists — clean box reading
     spark = get_spark("bench", cpus=CPUS)
     tv = with_value(load_transcripts(spark, SF_DIR))
     n_turns = tv.count()  # also warms the events scan
@@ -114,6 +149,17 @@ def main() -> None:
         "turns_per_sec": round(n_turns / cascade_sec, 1),
         "cpus": CPUS,
     }
+    if PROBES:
+        # stop the JVM first: the post-probe must read the box, not the
+        # suite's own executor teardown
+        spark.stop()
+        post = _probe()
+        import bench_scaling_calm as bc
+
+        out["pre_probe"], out["post_probe"] = pre, post
+        out["calm"] = bool(bc.calm(pre) and bc.calm(post))
+        out["calm_thresholds"] = {"bus_min": bc.BUS_MIN, "ipc_min": bc.IPC_MIN}
+        out["query_variants"] = QUERY_VARIANTS
     print(json.dumps(out))
 
 

@@ -132,3 +132,29 @@ def test_asof_cumulative_count_edges(spark):
     empty = ref.filter("1=0")
     out2 = asof.asof_cumulative_count(spark, probe, empty, out_col="cum")
     assert [r.cum for r in out2.collect()] == [None] * 5
+
+
+def test_asof_broadcast_size_guard(spark, monkeypatch):
+    """Round-4 verdict item 5: asof_lookup_broadcast driver-collects the
+    reference into a broadcast — correct for dim-sized series, an OOM for
+    table-sized ones. Above ASOF_BROADCAST_MAX it must fail loudly with a
+    pointer to the distributed asof_join_keyed, and still work at the
+    bound."""
+    import numpy as np
+    import pytest as _pytest
+
+    from aisdb_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, "2025-03-01 00:00:05")], "id long, ts_s string"
+    ).selectExpr("id", "CAST(ts_s AS timestamp) AS ts")
+    monkeypatch.setattr(asof, "ASOF_BROADCAST_MAX", 4)
+    # at the bound: fine
+    ok = asof.asof_lookup_broadcast(
+        spark, left, np.arange(4, dtype=np.int64), np.arange(4.0)
+    )
+    assert ok.count() == 1
+    with _pytest.raises(ValueError, match="asof_join_keyed"):
+        asof.asof_lookup_broadcast(
+            spark, left, np.arange(5, dtype=np.int64), np.arange(5.0)
+        )

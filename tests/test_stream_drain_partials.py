@@ -102,3 +102,238 @@ def test_multiwave_partial_drain_matches_batch(spark, tmp_path):
         spark, ev_df([(99, 9, base, 99.0)]), tier, epoch_id=2
     )
     assert got.filter(F.col("user_id") == 9).count() == 0
+
+
+def _sess_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, session_start timestamp, session_end timestamp,"
+        " n_events long, sum_cents long"
+    )
+
+
+def test_horizon_file_loss_recovers_from_tier(spark, tmp_path):
+    """Round-4 verdict item 1: _horizon.json is a cache, not a correctness
+    dependency. Delete it under a tier holding a 3-day session; the next
+    drain must recompute the horizon from the tier (max session span),
+    re-record it, and still merge a late partial with the long session —
+    no duplicate, no split. (Pre-fix behavior: silent default to 1 day →
+    the read window misses day 1 → duplicated session.)"""
+    import datetime as dt
+    import json
+    import os
+
+    tier = str(tmp_path / "tier")
+    d1 = dt.datetime(2025, 3, 1, 0, 0)
+    d4_noon = dt.datetime(2025, 3, 4, 0, 0)  # 72-hour session
+    rollup_stream.upsert_sessions_batch(
+        spark, _sess_df(spark, [(7, d1, d4_noon, 100, 1000)]), tier, epoch_id=0
+    )
+    os.remove(os.path.join(tier, "_horizon.json"))  # the lost side file
+    late = d4_noon + dt.timedelta(minutes=20)
+    rollup_stream.upsert_sessions_batch(
+        spark,
+        _sess_df(spark, [(7, late, late + dt.timedelta(minutes=10), 5, 50)]),
+        tier, epoch_id=1,
+    )
+    got = spark.read.parquet(tier).select(*rollup_stream._SESSION_TIER_COLS)
+    assert got.count() == 1  # merged, not duplicated
+    row = got.first()
+    assert (row.session_start, row.session_end, row.n_events, row.sum_cents) == (
+        d1, late + dt.timedelta(minutes=10), 105, 1050
+    )
+    # the recovered horizon was re-recorded from the tier (3-day span)
+    with open(os.path.join(tier, "_horizon.json")) as f:
+        assert json.load(f)["max_span_days"] >= 3
+    # corrupt file over a non-empty tier recovers identically
+    with open(os.path.join(tier, "_horizon.json"), "w") as f:
+        f.write("{not json")
+    assert rollup_stream._session_horizon_days(spark, tier) >= 3
+
+
+def test_upsert_sessions_merge_moves_partition_file_uri(spark, tmp_path):
+    """Round-4 verdict item 2: the sessions drain must not be silently
+    local-fs-bound. Same merge-moves-partition scenario as the plain-path
+    test, but the tier is a file:// URI — every side-file read/write, the
+    tier-nonempty probe, and the emptied-partition cleanup go through the
+    Hadoop FileSystem API (the identical client a real cluster uses for
+    hdfs:// / s3a://)."""
+    import datetime as dt
+    import os
+
+    local = str(tmp_path / "tier")
+    tier = f"file://{local}"
+    d1, d2 = dt.datetime(2025, 3, 1, 23, 50), dt.datetime(2025, 3, 2, 0, 10)
+    rollup_stream.upsert_sessions_batch(
+        spark, _sess_df(spark, [(7, d2, d2 + dt.timedelta(minutes=10), 3, 30)]),
+        tier, epoch_id=0,
+    )
+    assert os.path.isdir(f"{local}/bucket_date=2025-03-02")
+    rollup_stream.upsert_sessions_batch(
+        spark, _sess_df(spark, [(7, d1, d1 + dt.timedelta(minutes=5), 2, 20)]),
+        tier, epoch_id=1,
+    )
+    got = spark.read.parquet(tier).select(*rollup_stream._SESSION_TIER_COLS)
+    assert got.count() == 1
+    row = got.first()
+    assert (row.user_id, row.n_events, row.sum_cents) == (7, 5, 50)
+    # merged row moved to day 1; the emptied day-2 partition is GONE
+    # (this is exactly what shutil.rmtree on the URI string failed to do)
+    assert os.path.isdir(f"{local}/bucket_date=2025-03-01")
+    assert not os.path.isdir(f"{local}/bucket_date=2025-03-02")
+    # replayed epoch via the Hadoop-side _epoch.json is a no-op
+    rollup_stream.upsert_sessions_batch(
+        spark, _sess_df(spark, [(9, d2, d2 + dt.timedelta(minutes=5), 1, 10)]),
+        tier, epoch_id=1,
+    )
+    assert spark.read.parquet(tier).count() == 1
+
+
+def test_swap_commit_crash_windows_converge(spark, tmp_path, monkeypatch):
+    """Hypothesis over random session sets, micro-batch splits, and a crash
+    point injected into the second drain (round-4 verdict item 7):
+
+    - ``horizon``: crash between _record_session_horizon and the tier
+      write — the widened horizon is an over-estimate, which only widens
+      reads;
+    - ``backup``: crash mid-journal, after the first partition rename into
+      _txn_backup — recovery must rename the backups home;
+    - ``epoch``: crash between the tier write and the epoch record — THE
+      window rounds 1-4 documented as open on the parquet path; the
+      journaled swap closes it by rolling the write back.
+
+    After the crash, the same epoch is re-drained (what a checkpointed
+    source does) and the tier must equal the one-shot batch sessionization
+    of all events — no duplicate, no loss, every time."""
+    from hypothesis import HealthCheck, assume, given, settings, strategies as st
+
+    from aisdb_spark.streaming import fsio, txn
+
+    base = dt.datetime(2025, 3, 1, 22, 0)  # 2h before a day boundary
+    counter = {"n": 0}
+
+    def crash_after_first_rename(s, src, dst):
+        out = _real_rename(s, src, dst)
+        if "_txn_backup" in dst:  # crash right after a backup rename lands
+            counter["n"] += 1
+            if counter["n"] >= 1:
+                raise RuntimeError("injected crash mid-backup")
+        return out
+
+    _real_rename = fsio.rename
+    _real_record = txn.record_epoch
+    _real_horizon = rollup_stream._record_session_horizon
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(  # (user, 15-min slot, wave assignment)
+            st.tuples(st.integers(0, 1), st.integers(0, 24), st.integers(0, 1)),
+            min_size=2, max_size=10, unique=True,
+        ),
+        st.sampled_from(["horizon", "backup", "epoch"]),
+    )
+    def run(evts, crash_point):
+        # both waves must carry events or the injected step never runs
+        assume({w for _, _, w in evts} == {0, 1})
+        tmp = tmp_path / f"t{abs(hash((tuple(evts), crash_point)))}"
+        tier = str(tmp / "tier")
+        rows = [
+            (i, u, base + dt.timedelta(minutes=15 * slot), 1.0, wave)
+            for i, (u, slot, wave) in enumerate(evts)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double,"
+            " wave int"
+        )
+        waves = [
+            rollup_stream.sessionize_events(ev.filter(F.col("wave") == w))
+            for w in range(2)
+        ]
+        rollup_stream.upsert_sessions_batch(spark, waves[0], tier, epoch_id=0)
+        # inject the crash into the second drain
+        counter["n"] = 0
+        try:
+            if crash_point == "horizon":
+                def crash(s, t, d):
+                    _real_horizon(s, t, d)
+                    raise RuntimeError("injected crash after horizon record")
+                monkeypatch.setattr(
+                    rollup_stream, "_record_session_horizon", crash
+                )
+            elif crash_point == "backup":
+                monkeypatch.setattr(fsio, "rename", crash_after_first_rename)
+            else:  # epoch: tier write done, epoch record dies
+                def crash(s, t, e, pending_refresh=None):
+                    raise RuntimeError("injected crash before epoch record")
+                monkeypatch.setattr(txn, "record_epoch", crash)
+            try:
+                rollup_stream.upsert_sessions_batch(
+                    spark, waves[1], tier, epoch_id=1
+                )
+                crashed = crash_point == "horizon" and False
+            except RuntimeError:
+                crashed = True
+            if crash_point != "horizon":
+                assert crashed, "injection did not fire"
+        finally:
+            monkeypatch.setattr(fsio, "rename", _real_rename)
+            monkeypatch.setattr(txn, "record_epoch", _real_record)
+            monkeypatch.setattr(
+                rollup_stream, "_record_session_horizon", _real_horizon
+            )
+        # the checkpointed source replays the same epoch after restart
+        rollup_stream.upsert_sessions_batch(spark, waves[1], tier, epoch_id=1)
+        got = spark.read.parquet(tier).select(*rollup_stream._SESSION_TIER_COLS)
+        whole = rollup_stream.sessionize_events(ev)
+        assert got.exceptAll(whole).count() == 0
+        assert whole.exceptAll(got).count() == 0
+        # journal and backups fully settled
+        import os
+
+        assert not os.path.exists(f"{tier}/{txn.JOURNAL}")
+        assert not os.path.exists(f"{tier}/{txn.BACKUP}")
+
+    run()
+
+
+def test_txn_recover_arbitrates_by_epoch(spark, tmp_path):
+    """recover() decides by comparing the journal's epoch with the recorded
+    one: epoch already recorded → the commit happened, cleanup only;
+    not recorded → roll the write debris back to the journaled backups."""
+    from aisdb_spark.streaming import fsio, txn
+
+    tier = str(tmp_path / "tier")
+    d = "2025-03-01"
+    spark.range(3).selectExpr(
+        "id", f"to_date('{d}') as bucket_date"
+    ).write.partitionBy("bucket_date").parquet(tier)
+    txn.record_epoch(spark, tier, 0)
+
+    # uncommitted crash: journal epoch 1 > recorded 0; partition renamed to
+    # backup, debris written in its place
+    fsio.write_side_json_atomic(
+        spark, tier, txn.JOURNAL, {"epoch": 1, "backed": [d], "cleared": [d]}
+    )
+    fsio.rename(
+        spark, f"{tier}/bucket_date={d}", f"{tier}/{txn.BACKUP}/bucket_date={d}"
+    )
+    spark.range(99).selectExpr(
+        "id", f"to_date('{d}') as bucket_date"
+    ).write.mode("append").partitionBy("bucket_date").parquet(tier)
+    assert txn.recover(spark, tier) is True  # rolled back
+    assert spark.read.parquet(tier).count() == 3  # original restored
+    assert txn.recover(spark, tier) is False  # idempotent: nothing left
+
+    # committed crash: journal epoch == recorded epoch → cleanup only,
+    # the (new) tier state is kept
+    spark.range(7).selectExpr(
+        "id", f"to_date('{d}') as bucket_date"
+    ).write.mode("overwrite").partitionBy("bucket_date").parquet(tier)
+    txn.record_epoch(spark, tier, 2)
+    fsio.write_side_json_atomic(
+        spark, tier, txn.JOURNAL, {"epoch": 2, "backed": [d], "cleared": [d]}
+    )
+    assert txn.recover(spark, tier) is False  # commit stood
+    assert spark.read.parquet(tier).count() == 7

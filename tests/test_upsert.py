@@ -159,14 +159,16 @@ def test_cascade_crash_before_refresh_is_replayed(spark, tmp_path):
     # simulate the crash: 1min upsert + epoch record happen (with the
     # pending marker), but the process dies before refresh_coarser
     dates = ups.upsert_batch(spark, tv, t1, epoch_id=0, pending_refresh=True)
-    assert dates and sorted(ups._pending_refresh_dates(t1)) == sorted(dates)
+    assert dates and sorted(
+        ups.txn.pending_refresh_dates(spark, t1)
+    ) == sorted(dates)
     import os
 
     assert not os.path.isdir(dirs["1h"])  # refresh never ran
     # foreachBatch replays the same epoch after restart
     n = ups.upsert_batch_cascade(spark, tv, t1, dirs, epoch_id=0)
     assert n == len(dates)  # the owed refresh ran
-    assert ups._pending_refresh_dates(t1) == []  # marker cleared
+    assert ups.txn.pending_refresh_dates(spark, t1) == []  # marker cleared
     exp_1m = rollup.temporal_bin(tv, "minute")
     exp_1h = rollup.tier_from_finer(exp_1m, "hour")
     exp_1d = rollup.tier_from_finer(exp_1h, "day")
