@@ -154,10 +154,22 @@ def main() -> None:
         # suite's own executor teardown
         spark.stop()
         post = _probe()
+        import subprocess
+
         import bench_scaling_calm as bc
 
+        post_ok = bc.calm(post)
+        if not post_ok:
+            # v2-amendment logic (bench_scaling_calm module docstring): a
+            # failing probe in the seconds after the JVM exits usually
+            # reads the suite's own teardown writeback, not a storm —
+            # sync, settle, re-probe; both readings are recorded
+            subprocess.run(["sync"], check=False)
+            time.sleep(bc.SETTLE_S)
+            out["post_settled_probe"] = _probe()
+            post_ok = bc.calm(out["post_settled_probe"])
         out["pre_probe"], out["post_probe"] = pre, post
-        out["calm"] = bool(bc.calm(pre) and bc.calm(post))
+        out["calm"] = bool(bc.calm(pre) and post_ok)
         out["calm_thresholds"] = {"bus_min": bc.BUS_MIN, "ipc_min": bc.IPC_MIN}
         out["query_variants"] = QUERY_VARIANTS
     print(json.dumps(out))
