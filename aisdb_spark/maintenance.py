@@ -25,6 +25,11 @@ Both record what they did into the tier's ``_maintenance.json`` ledger
 (append-only list of actions) — the lineage surface for audits; cutoffs
 are explicit arguments (never wall-clock) so runs are deterministic and
 testable.
+
+Tiers addressed by URI (file://, hdfs://, s3a://) are supported since
+round 5: listing, partition drops, stats, and the ledger ride the Hadoop
+FileSystem client via ``streaming.fsio`` (an active SparkSession is
+required for those paths); plain local paths keep the ``os`` fast path.
 """
 
 from __future__ import annotations
@@ -41,7 +46,35 @@ from pyspark.sql import functions as F
 LEDGER = "_maintenance.json"
 
 
+def _spark_for(tier_dir: str):
+    """Active session handle for Hadoop-FS paths (retention/ledger IO on
+    hdfs:// / s3a:// tiers rides the JVM FileSystem client via
+    streaming.fsio, same as the streaming upserts since round 5); plain
+    local paths never touch the JVM."""
+    from pyspark.sql import SparkSession
+
+    from aisdb_spark.streaming import fsio
+
+    if not fsio.has_scheme(tier_dir):
+        return None
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"maintenance on a URI tier ({tier_dir}) needs an active "
+            "SparkSession for the Hadoop FileSystem client"
+        )
+    return spark
+
+
 def _append_ledger(tier_dir: str, entry: dict) -> None:
+    spark = _spark_for(tier_dir)
+    if spark is not None:
+        from aisdb_spark.streaming import fsio
+
+        log = fsio.read_side_json(spark, tier_dir, LEDGER) or []
+        log.append(entry)
+        fsio.write_side_json_atomic(spark, tier_dir, LEDGER, log)
+        return
     path = os.path.join(tier_dir, LEDGER)
     log = []
     if os.path.exists(path):
@@ -53,17 +86,24 @@ def _append_ledger(tier_dir: str, entry: dict) -> None:
 
 
 def _date_partitions(tier_dir: str) -> list[tuple[_dt.date, str]]:
+    spark = _spark_for(tier_dir)
+    if spark is not None:
+        from aisdb_spark.streaming import fsio
+
+        names = [n for n, _sz, is_dir in fsio.list_entries(spark, tier_dir) if is_dir]
+    elif os.path.isdir(tier_dir):
+        names = os.listdir(tier_dir)
+    else:
+        return []
     out = []
-    if not os.path.isdir(tier_dir):
-        return out
-    for name in sorted(os.listdir(tier_dir)):
+    for name in sorted(names):
         if not name.startswith("bucket_date="):
             continue
         try:
             d = _dt.date.fromisoformat(name.split("=", 1)[1])
         except ValueError:
             continue
-        out.append((d, os.path.join(tier_dir, name)))
+        out.append((d, f"{tier_dir.rstrip('/')}/{name}"))
     return out
 
 
@@ -81,10 +121,16 @@ def enforce_retention(
         tdir = tier_dirs.get(tier)
         if tdir is None:
             continue
+        spark = _spark_for(tdir)
         gone = []
         for d, path in _date_partitions(tdir):
             if d < cutoff:
-                shutil.rmtree(path)
+                if spark is not None:
+                    from aisdb_spark.streaming import fsio
+
+                    fsio.delete_dir(spark, path)
+                else:
+                    shutil.rmtree(path)
                 gone.append(str(d))
         dropped[tier] = gone
         if gone:
@@ -100,6 +146,16 @@ def enforce_retention(
 
 
 def _partition_stats(path: str) -> tuple[int, int]:
+    spark = _spark_for(path)
+    if spark is not None:
+        from aisdb_spark.streaming import fsio
+
+        pq = [
+            (n, sz)
+            for n, sz, is_dir in fsio.list_entries(spark, path)
+            if not is_dir and n.endswith(".parquet")
+        ]
+        return len(pq), sum(sz for _n, sz in pq)
     files = [
         os.path.join(path, f)
         for f in os.listdir(path)

@@ -143,6 +143,30 @@ def exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jp))
 
 
+def list_entries(spark: SparkSession, path: str) -> list:
+    """(name, size, is_dir) per directory entry; [] when missing. Used by
+    maintenance (retention listing, compaction stats) on URI tiers."""
+    if not has_scheme(path):
+        out = []
+        if os.path.isdir(path):
+            for n in os.listdir(path):
+                p = os.path.join(path, n)
+                isd = os.path.isdir(p)
+                out.append((n, 0 if isd else os.path.getsize(p), isd))
+        return out
+    fs, jp = _hfs(spark, path)
+    if not fs.exists(jp):
+        return []
+    return [
+        (
+            st.getPath().getName(),
+            0 if st.isDirectory() else int(st.getLen()),
+            bool(st.isDirectory()),
+        )
+        for st in fs.listStatus(jp)
+    ]
+
+
 def tier_nonempty(spark: SparkSession, tier_dir: str) -> bool:
     """True when the tier directory holds anything besides ``_``-prefixed
     side files (the parquet convention for hidden/metadata entries)."""
