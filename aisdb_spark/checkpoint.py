@@ -16,6 +16,11 @@ becomes the snapshot id and the overwrite becomes
 Metrics: per tier the manifest records rows, bytes, files, and wall seconds
 — the lineage + throughput surface the north rule requires (decode-rate
 precedent: ``aisdb_lib/src/decode.rs:228-257``).
+
+Round 5: tier base dirs may be URI-addressed (file://, hdfs://, s3a://) —
+manifest IO and the bytes walk ride the Hadoop FileSystem client via
+``streaming.fsio`` (single recursive listFiles stream, no per-directory
+RPCs); plain local paths keep the ``os`` fast path.
 """
 
 from __future__ import annotations
@@ -64,13 +69,14 @@ def _fingerprint_days(fingerprint: dict) -> int:
         return 1
 
 
-def _manifest_path(tier_dir: str) -> str:
-    return os.path.join(tier_dir, MANIFEST)
-
-
 def _read_manifest(tier_dir: str) -> dict | None:
+    from aisdb_spark.streaming import fsio
+
+    spark = fsio.session_for(tier_dir)
+    if spark is not None:
+        return fsio.read_side_json(spark, tier_dir, MANIFEST)
     try:
-        with open(_manifest_path(tier_dir)) as f:
+        with open(os.path.join(tier_dir, MANIFEST)) as f:
             return json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
@@ -123,11 +129,10 @@ def write_tier(
     elapsed = time.monotonic() - t0
     spark = df.sparkSession
     out_rows = spark.read.parquet(tier_dir).count()
+    from aisdb_spark.streaming import fsio
+
     nbytes = sum(
-        os.path.getsize(os.path.join(r, fn))
-        for r, _, fns in os.walk(tier_dir)
-        for fn in fns
-        if fn.endswith(".parquet")
+        sz for p, sz in fsio.walk_files(spark, tier_dir) if p.endswith(".parquet")
     )
     manifest = {
         "fingerprint": fingerprint,
@@ -135,8 +140,7 @@ def write_tier(
         "bytes": nbytes,
         "seconds": round(elapsed, 3),
     }
-    with open(_manifest_path(tier_dir), "w") as f:
-        json.dump(manifest, f, indent=1)
+    fsio.write_side_json_atomic(spark, tier_dir, MANIFEST, manifest)
     return manifest
 
 
@@ -158,8 +162,10 @@ def materialize_cascade(
     results: dict[str, dict] = {}
     upstream = tv
     specs = [("1min", "minute", True), ("1h", "hour", False), ("1d", "day", False)]
+    from aisdb_spark.streaming import fsio
+
     for name, unit, from_raw in specs:
-        tier_dir = os.path.join(base_dir, name)
+        tier_dir = fsio.join(base_dir, name)
         existing = _read_manifest(tier_dir)
         if not force and existing and existing.get("fingerprint") == fp:
             results[name] = {**existing, "skipped": True}

@@ -51,19 +51,9 @@ def _spark_for(tier_dir: str):
     hdfs:// / s3a:// tiers rides the JVM FileSystem client via
     streaming.fsio, same as the streaming upserts since round 5); plain
     local paths never touch the JVM."""
-    from pyspark.sql import SparkSession
-
     from aisdb_spark.streaming import fsio
 
-    if not fsio.has_scheme(tier_dir):
-        return None
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise RuntimeError(
-            f"maintenance on a URI tier ({tier_dir}) needs an active "
-            "SparkSession for the Hadoop FileSystem client"
-        )
-    return spark
+    return fsio.session_for(tier_dir)
 
 
 def _append_ledger(tier_dir: str, entry: dict) -> None:

@@ -48,6 +48,32 @@ def _hfs(spark: SparkSession, path: str):
     return fs, jpath
 
 
+def session_for(path: str) -> SparkSession | None:
+    """The active SparkSession when ``path`` needs the Hadoop FileSystem
+    client (URI-schemed), else None (plain paths never touch the JVM).
+    Raises when a URI path has no active session — the JVM gateway is the
+    only route to hdfs://s3a: and failing loudly beats a silent local
+    no-op (the round-4 rmtree lesson)."""
+    if not has_scheme(path):
+        return None
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"URI path {path!r} needs an active SparkSession for the "
+            "Hadoop FileSystem client"
+        )
+    return spark
+
+
+def join(base: str, *names: str) -> str:
+    """Scheme-preserving path join (os.path.join would mangle nothing
+    here on posix, but be explicit about the URI contract)."""
+    out = base.rstrip("/")
+    for n in names:
+        out = f"{out}/{n.strip('/')}"
+    return out
+
+
 def read_side_json(spark: SparkSession, tier_dir: str, name: str):
     """Parse ``{tier_dir}/{name}`` as JSON; None if missing/unreadable."""
     if not has_scheme(tier_dir):
@@ -165,6 +191,27 @@ def list_entries(spark: SparkSession, path: str) -> list:
         )
         for st in fs.listStatus(jp)
     ]
+
+
+def walk_files(spark: SparkSession, path: str) -> list:
+    """Recursive (path, size) over every file under ``path``; [] when
+    missing. URI paths use FileSystem.listFiles(recursive) — one RPC
+    stream, no per-directory roundtrips (S3 listing is O(prefix))."""
+    if not has_scheme(path):
+        return [
+            (os.path.join(r, fn), os.path.getsize(os.path.join(r, fn)))
+            for r, _dirs, fns in os.walk(path)
+            for fn in fns
+        ]
+    fs, jp = _hfs(spark, path)
+    if not fs.exists(jp):
+        return []
+    out = []
+    it = fs.listFiles(jp, True)
+    while it.hasNext():
+        st = it.next()
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
 
 
 def tier_nonempty(spark: SparkSession, tier_dir: str) -> bool:
