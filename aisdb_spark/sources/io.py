@@ -112,19 +112,38 @@ def read_transcripts_zip(spark: SparkSession, path: str) -> DataFrame:
 
 def file_checksum(path: str, head_bytes: int = 1000) -> str:
     """md5 of the first ``head_bytes`` — AISdb's exact ingest-dedup key
-    (aisdb/database/decoder.py:56-63)."""
-    with open(path, "rb") as f:
-        return hashlib.md5(f.read(head_bytes)).hexdigest()
+    (aisdb/database/decoder.py:56-63). Files on URI-addressed stores
+    (file://, hdfs://, s3a://) are read through the Hadoop FS client —
+    one ranged head read, never a full download."""
+    from aisdb_spark.streaming import fsio
+
+    spark = fsio.session_for(path)
+    return hashlib.md5(fsio.read_head(spark, path, head_bytes)).hexdigest()
 
 
 class IngestLedger:
-    """Skip-already-ingested-files ledger (the ``hashmap`` table analog)."""
+    """Skip-already-ingested-files ledger (the ``hashmap`` table analog).
+
+    The ledger JSON may live on shared storage (URI path) so concurrent
+    ingest workers on different nodes consult one dedup surface — the
+    write is tmp+rename through ``streaming.fsio``, same discipline as
+    the tier side files."""
 
     def __init__(self, ledger_path: str):
+        from aisdb_spark.streaming import fsio
+
         self.path = ledger_path
+        self._dir = ledger_path.rsplit("/", 1)[0] if "/" in ledger_path else "."
+        self._name = ledger_path.rsplit("/", 1)[-1]
+        spark = fsio.session_for(ledger_path)
+        if spark is not None:
+            self.seen: dict[str, str] = (
+                fsio.read_side_json(spark, self._dir, self._name) or {}
+            )
+            return
         try:
             with open(ledger_path) as f:
-                self.seen: dict[str, str] = json.load(f)
+                self.seen = json.load(f)
         except (OSError, json.JSONDecodeError):
             self.seen = {}
 
@@ -132,8 +151,14 @@ class IngestLedger:
         return [p for p in paths if self.seen.get(file_checksum(p)) is None]
 
     def record(self, paths: list[str]) -> None:
+        from aisdb_spark.streaming import fsio
+
         for p in paths:
             self.seen[file_checksum(p)] = os.path.basename(p)
+        spark = fsio.session_for(self.path)
+        if spark is not None:
+            fsio.write_side_json_atomic(spark, self._dir, self._name, self.seen)
+            return
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path, "w") as f:
             json.dump(self.seen, f, indent=1)

@@ -193,6 +193,28 @@ def list_entries(spark: SparkSession, path: str) -> list:
     ]
 
 
+def read_head(spark: SparkSession, path: str, n: int) -> bytes:
+    """First ``n`` bytes of a file — the ingest-dedup checksum window.
+    URI paths stream exactly one ranged read through the FS client."""
+    if not has_scheme(path):
+        with open(path, "rb") as f:
+            return f.read(n)
+    fs, jp = _hfs(spark, path)
+    ins = fs.open(jp)
+    try:
+        # py4j passes bytearray to byte[] BY VALUE — a Java-side read(buf)
+        # fills a copy the Python side never sees. Bound the stream and
+        # let commons-io materialize the bytes on the JVM instead.
+        bounded = spark._jvm.org.apache.commons.io.input.BoundedInputStream(  # noqa: SLF001
+            ins, n
+        )
+        return bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(bounded)  # noqa: SLF001
+        )
+    finally:
+        ins.close()
+
+
 def walk_files(spark: SparkSession, path: str) -> list:
     """Recursive (path, size) over every file under ``path``; [] when
     missing. URI paths use FileSystem.listFiles(recursive) — one RPC
