@@ -112,3 +112,87 @@ def stream_rollup_socket(
         .load()
     )
     return rollup_measures(parse_event_lines(raw).withWatermark("ts", watermark))
+
+
+def _udp_send_fn(host: str, port: int, ttl: int):
+    """mapInPandas body: one UDP socket per task, one datagram per line.
+    Defined at module level so only (host, port, ttl) ride the closure —
+    no SparkSession/DataFrame capture in the serialized task."""
+
+    def send(batches):
+        import socket as _socket
+
+        import pandas as pd
+
+        sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        try:
+            first_octet = int(host.split(".", 1)[0])
+        except ValueError:
+            first_octet = 0
+        if 224 <= first_octet <= 239:  # multicast group → scope the TTL
+            sock.setsockopt(
+                _socket.IPPROTO_IP, _socket.IP_MULTICAST_TTL, ttl
+            )
+        n = 0
+        try:
+            for pdf in batches:
+                for line in pdf["line"]:
+                    sock.sendto(line.encode("utf-8"), (host, port))
+                    n += 1
+        finally:
+            sock.close()
+        yield pd.DataFrame({"sent": [n]})
+
+    return send
+
+
+def rebroadcast_udp(lines: DataFrame, host: str, port: int, ttl: int = 1) -> int:
+    """Fan one batch of raw wire lines out over UDP — the reference
+    receiver's downstream rebroadcast (``receiver/src/receiver.rs``
+    multicast fan-out; ``aisdb/receiver.py:6-57``), minus the websocket
+    visualization leg SURVEY scopes out.
+
+    Spark-first shape: every partition sends from its own executor task
+    over its own socket (Arrow-batched ``mapInPandas``; the datagrams
+    never funnel through the driver), so fan-out bandwidth scales with
+    the cluster exactly like the reference's per-receiver rebroadcast
+    scales with receiver processes. ``host`` may be a multicast group
+    (224.0.0.0/4 — TTL applied) or a unicast address. Delivery is
+    at-most-once: UDP, same contract as the reference. Returns the
+    number of datagrams handed to the kernel."""
+    col = lines.columns[0]
+    sent = (
+        lines.select(F.col(col).cast("string").alias("line"))
+        .mapInPandas(_udp_send_fn(host, port, ttl), "sent long")
+        .agg(F.sum("sent"))
+        .collect()[0][0]
+    )
+    return int(sent or 0)
+
+
+def stream_rebroadcast_socket(
+    spark: SparkSession,
+    in_host: str,
+    in_port: int,
+    out_host: str,
+    out_port: int,
+    ttl: int = 1,
+):
+    """TCP feed in → UDP fan-out per micro-batch (foreachBatch side-sink).
+    The returned query's ``lastProgress`` carries per-batch row counts;
+    start it alongside the rollup query — the socket source supports one
+    reader per query, so production pairs this with a replayable bus
+    (Kafka) rather than the same raw socket."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", in_host)
+        .option("port", str(in_port))
+        .load()
+    )
+    return (
+        raw.writeStream.foreachBatch(
+            lambda batch, _eid: rebroadcast_udp(batch, out_host, out_port, ttl)
+        )
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
