@@ -124,44 +124,64 @@ def file_checksum(path: str, head_bytes: int = 1000) -> str:
 class IngestLedger:
     """Skip-already-ingested-files ledger (the ``hashmap`` table analog).
 
-    The ledger JSON may live on shared storage (URI path) so concurrent
-    ingest workers on different nodes consult one dedup surface — the
-    write is tmp+rename through ``streaming.fsio``, same discipline as
-    the tier side files."""
+    The ledger JSON may live on shared storage (URI path) so ingest jobs
+    on any node consult one dedup surface — the write is tmp+rename
+    through ``streaming.fsio``, same discipline as the tier side files.
+
+    Concurrency contract (same as the reference's single-writer sqlite
+    ``hashmap`` table): one ingest coordinator records at a time.
+    ``record`` re-reads the shared ledger and merges before writing, so
+    sequential coordinators never lose each other's entries; two
+    coordinators racing inside that re-read window can still drop the
+    other's update — the worst case is a file re-ingested on a later
+    run, which the downstream tiers absorb (dedup + upsert-idempotent
+    materialization, the reference's insert-time PK dedup model). The
+    ledger is an optimization gate, never a correctness gate."""
 
     def __init__(self, ledger_path: str):
-        from aisdb_spark.streaming import fsio
-
         self.path = ledger_path
         self._dir = ledger_path.rsplit("/", 1)[0] if "/" in ledger_path else "."
         self._name = ledger_path.rsplit("/", 1)[-1]
-        spark = fsio.session_for(ledger_path)
+        self._checksums: dict[str, str] = {}  # path → md5-head memo
+        self.seen: dict[str, str] = self._load()
+
+    def _load(self) -> dict:
+        from aisdb_spark.streaming import fsio
+
+        spark = fsio.session_for(self.path)
         if spark is not None:
-            self.seen: dict[str, str] = (
-                fsio.read_side_json(spark, self._dir, self._name) or {}
-            )
-            return
+            return fsio.read_side_json(spark, self._dir, self._name) or {}
         try:
-            with open(ledger_path) as f:
-                self.seen = json.load(f)
+            with open(self.path) as f:
+                return json.load(f)
         except (OSError, json.JSONDecodeError):
-            self.seen = {}
+            return {}
+
+    def _checksum(self, path: str) -> str:
+        # memoized: filter_new and record hash the same heads, and on URI
+        # paths each checksum is a remote open + ranged read
+        if path not in self._checksums:
+            self._checksums[path] = file_checksum(path)
+        return self._checksums[path]
 
     def filter_new(self, paths: list[str]) -> list[str]:
-        return [p for p in paths if self.seen.get(file_checksum(p)) is None]
+        return [p for p in paths if self.seen.get(self._checksum(p)) is None]
 
     def record(self, paths: list[str]) -> None:
         from aisdb_spark.streaming import fsio
 
+        merged = self._load()  # merge-on-write: keep other coordinators'
+        merged.update(self.seen)  # entries recorded since our load
         for p in paths:
-            self.seen[file_checksum(p)] = os.path.basename(p)
+            merged[self._checksum(p)] = os.path.basename(p)
+        self.seen = merged
         spark = fsio.session_for(self.path)
         if spark is not None:
-            fsio.write_side_json_atomic(spark, self._dir, self._name, self.seen)
+            fsio.write_side_json_atomic(spark, self._dir, self._name, merged)
             return
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path, "w") as f:
-            json.dump(self.seen, f, indent=1)
+            json.dump(merged, f, indent=1)
 
 
 def ingest_files(

@@ -32,15 +32,6 @@ def has_scheme(path: str) -> bool:
     return "://" in path or path.startswith("file:")
 
 
-def local_path(path: str) -> str:
-    """Strip a file:-scheme prefix; other schemes pass through unchanged."""
-    if path.startswith("file://"):
-        return path[len("file://"):] or "/"
-    if path.startswith("file:"):
-        return path[len("file:"):]
-    return path
-
-
 def _hfs(spark: SparkSession, path: str):
     """(Hadoop FileSystem, Path) for any URI the session can resolve."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
@@ -87,7 +78,19 @@ def read_side_json(spark: SparkSession, tier_dir: str, name: str):
     try:
         fs, jp = _hfs(spark, f"{tier_dir}/{name}")
         if not fs.exists(jp):
-            return None
+            # Hadoop rename refuses existing targets, so the atomic write
+            # is delete→rename — a crash between the two leaves the final
+            # file missing while the just-completed tmp still holds the
+            # full payload (a partial tmp can only coexist WITH a final:
+            # the final is only deleted after the tmp is closed). Reading
+            # the tmp here closes that window; load-bearing for
+            # _epoch.json, where "missing → epoch -1" would re-apply a
+            # committed batch.
+            jp = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+                f"{tier_dir}/{name}.tmp"
+            )
+            if not fs.exists(jp):
+                return None
         ins = fs.open(jp)
         try:  # commons-io ships with Spark; py4j returns byte[] as bytes
             data = bytes(
@@ -123,6 +126,15 @@ def write_side_json_atomic(
     )
     fs.delete(jfinal, False)  # Hadoop rename refuses existing targets
     fs.rename(jtmp, jfinal)
+
+
+def delete_side_json(spark: SparkSession, tier_dir: str, name: str) -> None:
+    """Remove a side file AND its ``.tmp`` twin. Required wherever a side
+    file is deliberately deleted (the txn journal): read_side_json falls
+    back to the tmp when the final is missing, so deleting only the final
+    could resurrect a stale tmp as a phantom payload."""
+    delete_dir(spark, f"{tier_dir}/{name}.tmp")
+    delete_dir(spark, f"{tier_dir}/{name}")
 
 
 def delete_dir(spark: SparkSession, path: str) -> None:

@@ -120,24 +120,38 @@ def _udp_send_fn(host: str, port: int, ttl: int):
     no SparkSession/DataFrame capture in the serialized task."""
 
     def send(batches):
+        import ipaddress
         import socket as _socket
 
         import pandas as pd
 
-        sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
-        try:
-            first_octet = int(host.split(".", 1)[0])
-        except ValueError:
-            first_octet = 0
-        if 224 <= first_octet <= 239:  # multicast group → scope the TTL
-            sock.setsockopt(
-                _socket.IPPROTO_IP, _socket.IP_MULTICAST_TTL, ttl
-            )
+        # resolve once per task; hostnames and IPv6 groups count too —
+        # a dotted-quad prefix test would silently skip the TTL for
+        # "mcast.example.org" and the datagrams would die at hop 1
+        family, addr = _socket.AF_INET, (host, port)
+        for fam, _t, _p, _c, sockaddr in _socket.getaddrinfo(
+            host, port, proto=_socket.IPPROTO_UDP
+        ):
+            if fam in (_socket.AF_INET, _socket.AF_INET6):
+                family, addr = fam, sockaddr
+                break
+        sock = _socket.socket(family, _socket.SOCK_DGRAM)
+        if ipaddress.ip_address(addr[0]).is_multicast:
+            if family == _socket.AF_INET:
+                sock.setsockopt(
+                    _socket.IPPROTO_IP, _socket.IP_MULTICAST_TTL, ttl
+                )
+            else:
+                sock.setsockopt(
+                    _socket.IPPROTO_IPV6, _socket.IPV6_MULTICAST_HOPS, ttl
+                )
         n = 0
         try:
             for pdf in batches:
                 for line in pdf["line"]:
-                    sock.sendto(line.encode("utf-8"), (host, port))
+                    if line is None:  # NULL wire line: skip, don't kill the task
+                        continue
+                    sock.sendto(line.encode("utf-8"), addr)
                     n += 1
         finally:
             sock.close()

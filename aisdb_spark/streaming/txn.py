@@ -8,7 +8,8 @@ the same effectively-once contract from a write-ahead journal, because
 the epoch record itself is an atomic rename and can serve as the commit
 point. The protocol, per micro-batch:
 
-1. journal ``_txn.json`` ``{epoch, backed, cleared}`` (atomic rename);
+1. journal ``_txn.json`` ``{epoch, backed, cleared, files}`` (atomic
+   rename; ``files`` is the per-partition pre-image file manifest);
 2. rename every touched partition that exists into ``_txn_backup/``
    (metadata-only on local/HDFS; the ``_`` prefix hides both journal
    and backups from parquet scans and :func:`fsio.tier_nonempty`);
@@ -17,20 +18,24 @@ point. The protocol, per micro-batch:
    rows simply ceases to exist (emptied-partition cleanup is free,
    replacing the local-fs-only ``shutil.rmtree`` pass);
 4. record the epoch in ``_epoch.json``  ← THE commit point;
-5. delete the journal, then the backups.
+5. rewrite the journal with ``state: committed`` (atomic), then delete
+   the backups, then the journal — the flag means any later crash is
+   arbitrated as "finish cleanup", never rollback, so a half-done
+   cleanup can never strand a backup for the next swap's rename to
+   collide with.
 
-:func:`recover` (run at the top of every upsert) arbitrates any crash
-by comparing the journal's epoch against the recorded one: already
-recorded → the commit happened, finish step 5; not recorded → it did
-not, delete write debris and rename the backups home, restoring the
-exact pre-batch tier for the checkpointed source's replay of the same
-epoch. Recovery is idempotent: a backup either still exists (restore
-it) or the original is already in place (leave it), per partition, so
-a crash during recovery — or during an S3-style copy+delete rename —
-re-arbitrates identically. With ``epoch_id=None`` (hand-driven callers
-outside a streaming checkpoint) the journal still keeps the tier
-consistent, but the commit point degrades to the journal deletion: a
-crash after the write rolls the batch back — at-most-once, documented.
+:func:`recover` (run at the top of every upsert) arbitrates any crash:
+journal flagged committed, or its epoch already recorded → the commit
+happened, finish step 5; otherwise it did not — delete write debris
+and rename the backups home, restoring the exact pre-batch tier for
+the checkpointed source's replay of the same epoch. Restoration is
+file-granular against the journaled manifest: each pre-image file is
+in the backup, at home, or both (an S3-style copy+delete rename can
+crash mid-partition), so recovery converges from ANY interleaving and
+re-running a crashed recovery re-arbitrates identically. With
+``epoch_id=None`` (hand-driven callers outside a streaming checkpoint)
+the committed flag itself is the commit point: a crash after the write
+but before the flip rolls the batch back — at-most-once, documented.
 
 Scale: the journal lists touched dates only (∝ batch, never table),
 the swap is rename-only, and recovery touches only journaled
@@ -90,32 +95,58 @@ def record_epoch(
     fsio.write_side_json_atomic(spark, tier_dir, "_epoch.json", payload)
 
 
+def _restore_partition(spark: SparkSession, tier_dir: str, d: str,
+                       manifest: list | None) -> None:
+    """Put partition ``d`` back to its journaled pre-image (uncommitted
+    crash). With a per-file ``manifest`` the restore is file-granular, so
+    it survives a crash INSIDE the backup rename itself on stores where
+    rename is copy+delete (S3A): each manifest file is in the backup, at
+    home, or both (copied, delete pending) — backup wins (same bytes);
+    anything at home that is NOT in the manifest is new-write debris."""
+    cur = f"{tier_dir}/bucket_date={d}"
+    bak = f"{tier_dir}/{BACKUP}/bucket_date={d}"
+    if manifest is None:  # pre-manifest journal: directory-level arbitration
+        if fsio.exists(spark, bak):
+            fsio.delete_dir(spark, cur)  # partial-write debris
+            fsio.rename(spark, bak, cur)
+        # backup absent → its rename never ran: cur IS the pre-image
+        return
+    names = set(manifest)
+    for n, _sz, is_dir in fsio.list_entries(spark, cur):
+        if not is_dir and n not in names:
+            fsio.delete_dir(spark, f"{cur}/{n}")  # write debris
+    for n in manifest:
+        if fsio.exists(spark, f"{bak}/{n}"):
+            fsio.delete_dir(spark, f"{cur}/{n}")  # half-copied duplicate
+            fsio.rename(spark, f"{bak}/{n}", f"{cur}/{n}")
+        # else: file already home (never renamed away, or restored)
+
+
 def recover(spark: SparkSession, tier_dir: str) -> bool:
     """Settle a crashed swap_commit, if any. Returns True when a rollback
     was performed (the journaled epoch had NOT been recorded — the batch
     must be replayed by the caller's source), False otherwise."""
     j = fsio.read_side_json(spark, tier_dir, JOURNAL)
     if not j:
+        # no journal → the last swap fully arbitrated; a backup dir here
+        # is settled garbage from a cleanup interrupted under the pre-r5
+        # deletion order, and it would poison the next swap's rename
+        fsio.delete_dir(spark, f"{tier_dir}/{BACKUP}")
         return False
-    committed = (
+    committed = j.get("state") == "committed" or (
         j.get("epoch") is not None
         and j["epoch"] <= last_applied_epoch(spark, tier_dir)
     )
     if not committed:
         backed = set(j.get("backed", []))
+        files = j.get("files", {})
         for d in j.get("cleared", []):
-            cur = f"{tier_dir}/bucket_date={d}"
             if d in backed:
-                bak = f"{tier_dir}/{BACKUP}/bucket_date={d}"
-                if fsio.exists(spark, bak):
-                    fsio.delete_dir(spark, cur)  # partial-write debris
-                    fsio.rename(spark, bak, cur)
-                # backup absent → its rename never ran (or recovery already
-                # restored it): cur IS the pre-image, leave it
+                _restore_partition(spark, tier_dir, d, files.get(d))
             else:  # no pre-image existed: anything here is write debris
-                fsio.delete_dir(spark, cur)
-    fsio.delete_dir(spark, f"{tier_dir}/{JOURNAL}")
+                fsio.delete_dir(spark, f"{tier_dir}/bucket_date={d}")
     fsio.delete_dir(spark, f"{tier_dir}/{BACKUP}")
+    fsio.delete_side_json(spark, tier_dir, JOURNAL)
     return not committed
 
 
@@ -134,13 +165,18 @@ def swap_commit(
     dynamic-overwrite lineage), because step 2 renames those partitions
     away before the write."""
     dates = sorted({str(d) for d in dates})
-    backed = [
-        d for d in dates if fsio.exists(spark, f"{tier_dir}/bucket_date={d}")
-    ]
-    fsio.write_side_json_atomic(
-        spark, tier_dir, JOURNAL,
-        {"epoch": epoch_id, "backed": backed, "cleared": dates},
-    )
+    backed, files = [], {}
+    for d in dates:
+        entries = fsio.list_entries(spark, f"{tier_dir}/bucket_date={d}")
+        if entries:
+            backed.append(d)
+            # per-file pre-image manifest: lets recover() arbitrate a crash
+            # INSIDE a copy+delete rename (S3A) file-by-file instead of
+            # trusting backup-directory existence as a complete pre-image
+            files[d] = sorted(n for n, _sz, is_dir in entries if not is_dir)
+    journal = {"epoch": epoch_id, "backed": backed, "cleared": dates,
+               "files": files}
+    fsio.write_side_json_atomic(spark, tier_dir, JOURNAL, journal)
     for d in backed:
         fsio.rename(
             spark,
@@ -158,5 +194,13 @@ def swap_commit(
     )
     if epoch_id is not None:
         record_epoch(spark, tier_dir, epoch_id, pending_refresh)
-    fsio.delete_dir(spark, f"{tier_dir}/{JOURNAL}")
+    # flip the journal to committed BEFORE deleting backups: from here any
+    # crash is arbitrated as "finish cleanup", never rollback — without
+    # this flag a crash between the two deletes below left an orphaned
+    # backup that the NEXT swap's rename collided with, and for
+    # epoch_id=None there was no other committed signal at all
+    fsio.write_side_json_atomic(
+        spark, tier_dir, JOURNAL, {**journal, "state": "committed"}
+    )
     fsio.delete_dir(spark, f"{tier_dir}/{BACKUP}")
+    fsio.delete_side_json(spark, tier_dir, JOURNAL)

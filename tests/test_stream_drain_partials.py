@@ -337,3 +337,117 @@ def test_txn_recover_arbitrates_by_epoch(spark, tmp_path):
     )
     assert txn.recover(spark, tier) is False  # commit stood
     assert spark.read.parquet(tier).count() == 7
+
+
+def test_cleanup_crash_and_orphan_backup_converge(spark, tmp_path):
+    """Round-5 protocol hardening (review findings):
+
+    (a) an orphaned ``_txn_backup`` with NO journal — the state a crash
+        between the two cleanup deletes could strand under the pre-r5
+        deletion order — is purged by recover(), so the next swap's
+        backup rename cannot collide with stale garbage and silently
+        restore a months-old pre-image;
+    (b) a journal flagged ``state: committed`` (crash mid-cleanup) is
+        arbitrated as finish-cleanup, never rollback — including for
+        epoch_id=None, which previously had no committed signal at all.
+    """
+    from aisdb_spark.streaming import fsio, txn
+
+    tier = str(tmp_path / "tier")
+    d = "2025-03-01"
+    df1 = spark.createDataFrame(
+        [(1, dt.date(2025, 3, 1))], "id long, bucket_date date"
+    )
+    txn.swap_commit(spark, tier, df1, [d], epoch_id=0)
+
+    # (a) orphan backup, no journal
+    stale = spark.createDataFrame(
+        [(99, dt.date(2025, 3, 1))], "id long, bucket_date date"
+    )
+    stale.write.parquet(f"{tier}/{txn.BACKUP}/bucket_date={d}")
+    assert not txn.recover(spark, tier)
+    assert not fsio.exists(spark, f"{tier}/{txn.BACKUP}")
+    df2 = spark.createDataFrame(
+        [(2, dt.date(2025, 3, 1))], "id long, bucket_date date"
+    )
+    txn.swap_commit(spark, tier, df2, [d], epoch_id=1)
+    assert [r.id for r in spark.read.parquet(tier).collect()] == [2]
+
+    # (b) committed journal left behind mid-cleanup (epoch_id=None path)
+    fsio.write_side_json_atomic(
+        spark, tier, txn.JOURNAL,
+        {"epoch": None, "backed": [d], "cleared": [d],
+         "files": {d: ["phantom.parquet"]}, "state": "committed"},
+    )
+    assert not txn.recover(spark, tier)  # no rollback
+    assert fsio.read_side_json(spark, tier, txn.JOURNAL) is None
+    assert [r.id for r in spark.read.parquet(tier).collect()] == [2]
+
+
+def test_recover_restores_partial_backup_per_file(spark, tmp_path):
+    """S3-style rename is copy+delete per file: a crash INSIDE the backup
+    rename leaves the pre-image split between the partition and the
+    backup. The journaled per-file manifest lets recover() reassemble the
+    exact pre-image from both halves and drop new-write debris."""
+    import os
+
+    from aisdb_spark.streaming import fsio, txn
+
+    tier = str(tmp_path / "tier")
+    d = "2025-03-01"
+    part = f"{tier}/bucket_date={d}"
+    pre = spark.createDataFrame(
+        [(i, dt.date(2025, 3, 1)) for i in range(30)],
+        "id long, bucket_date date",
+    )
+    pre.repartition(3).write.partitionBy("bucket_date").parquet(tier)
+    names = sorted(
+        n for n in os.listdir(part) if n.endswith(".parquet")
+    )
+    assert len(names) == 3
+    want = sorted(r.id for r in spark.read.parquet(tier).collect())
+
+    # journal as swap_commit would, then simulate: one file moved to the
+    # backup, one COPIED but not yet deleted (both halves), one never
+    # moved; plus a new-write debris file in the slot
+    fsio.write_side_json_atomic(
+        spark, tier, txn.JOURNAL,
+        {"epoch": 7, "backed": [d], "cleared": [d], "files": {d: names}},
+    )
+    bak = f"{tier}/{txn.BACKUP}/bucket_date={d}"
+    os.makedirs(bak)
+    os.rename(f"{part}/{names[0]}", f"{bak}/{names[0]}")   # moved
+    import shutil
+
+    shutil.copy(f"{part}/{names[1]}", f"{bak}/{names[1]}")  # copied, not deleted
+    with open(f"{part}/part-debris.parquet", "wb") as f:
+        f.write(b"not a real parquet footer")               # write debris
+
+    assert txn.recover(spark, tier)  # uncommitted → rollback
+    assert sorted(
+        n for n in os.listdir(part) if n.endswith(".parquet")
+    ) == names
+    got = sorted(r.id for r in spark.read.parquet(tier).collect())
+    assert got == want
+    assert not os.path.exists(f"{tier}/{txn.BACKUP}")
+    assert not os.path.exists(f"{tier}/{txn.JOURNAL}")
+
+
+def test_epoch_survives_delete_rename_window_on_uri(spark, tmp_path):
+    """URI branch of write_side_json_atomic is delete→rename (Hadoop
+    rename refuses existing targets); a crash in between leaves only the
+    completed .tmp. last_applied_epoch must read it — 'missing → -1'
+    would re-apply a committed batch (double-counted rollups)."""
+    import os
+
+    from aisdb_spark.streaming import txn
+
+    local = str(tmp_path / "tier")
+    tier = f"file://{local}"
+    txn.record_epoch(spark, tier, 41)
+    txn.record_epoch(spark, tier, 42)
+    assert txn.last_applied_epoch(spark, tier) == 42
+    # simulate the crash window: final deleted, tmp (already complete)
+    # still present — exactly the state between fs.delete and fs.rename
+    os.rename(f"{local}/_epoch.json", f"{local}/_epoch.json.tmp")
+    assert txn.last_applied_epoch(spark, tier) == 42
