@@ -167,3 +167,22 @@ def test_zip_archive_ingest(spark, tmp_path):
     assert back.count() == 300
     assert back.exceptAll(t.select(*aio.CSV_COLUMNS)).count() == 0
     t.unpersist()
+
+
+def test_ingest_ledger_merge_on_write(spark, tmp_path):
+    """Sequential coordinators must never lose each other's entries:
+    record() re-reads the shared ledger and merges before writing (the
+    review-found lost-update: two handles loaded from the same snapshot,
+    last writer erased the other's files)."""
+    (tmp_path / "f1.csv").write_bytes(b"conv_id,x\na,1\n")
+    (tmp_path / "f2.csv").write_bytes(b"conv_id,x\nb,2\n")
+    path = str(tmp_path / "ledger.json")
+    a = aio.IngestLedger(path)  # both handles load the same empty snapshot
+    b = aio.IngestLedger(path)
+    a.record([str(tmp_path / "f1.csv")])
+    b.record([str(tmp_path / "f2.csv")])  # must keep a's entry
+    fresh = aio.IngestLedger(path)
+    assert sorted(fresh.seen.values()) == ["f1.csv", "f2.csv"]
+    assert fresh.filter_new(
+        [str(tmp_path / "f1.csv"), str(tmp_path / "f2.csv")]
+    ) == []
