@@ -1364,8 +1364,13 @@ def cosine_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking
     (b bands x r planes; label blocking was the round-1 scale-killer).
     Threshold 0.45 because the synthetic embeddings top out at cos~0.51 —
-    at 0.95 the verify stage would never be exercised (0 rows both ways)."""
-    return similarity.cosine_near_pairs(spark, sf_dir, threshold=0.45)
+    at 0.95 the verify stage would never be exercised (0 rows both ways).
+    ``r`` is pinned explicitly for oracle parity (the DuckDB twin embeds
+    the same fixed planes); production callers omitting ``r`` get the
+    corpus-self-sized band width (similarity.neardup_r_for)."""
+    return similarity.cosine_near_pairs(
+        spark, sf_dir, threshold=0.45, r=similarity.NEARDUP_R
+    )
 
 
 # ---------------------------------------------------------------------------

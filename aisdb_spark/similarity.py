@@ -163,34 +163,70 @@ def _band_key_expr(planes: np.ndarray, band: int, r: int, duck: bool) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _spread_scan(df: DataFrame, key: str = "vec_id") -> DataFrame:
+    """Scale-adaptive scan spread (same rationale as textops._spread_scan):
+    a small corpus arrives as one parquet row group → one scan task → the
+    per-row fold expressions (16-64 dot products per row) run
+    single-threaded. Hash-repartition only when the scan has fewer
+    partitions than cores; large corpora take no extra shuffle."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def cosine_band_rows(
     emb: DataFrame, planes: np.ndarray, r: int, b: int
 ) -> DataFrame:
     """(vec_id, band, bkey) hyperplane sign-pattern band rows over an
     embeddings frame — shared by cosine_near_pairs and the large-corpus
-    occupancy measurement (bench_similarity_large.py)."""
-    bands = None
-    for i in range(b):
-        part = emb.select(
-            "vec_id",
-            F.lit(i).alias("band"),
-            F.expr(_band_key_expr(planes, i, r, duck=False)).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    return bands
+    occupancy measurement (bench_similarity_large.py).
+
+    One explode pass over an array of (band, bkey) structs instead of the
+    old b-way unionByName: the union re-evaluated the embeddings scan and
+    the r·b dot-product folds per branch AND per self-join side; a single
+    subtree computes every sign bit exactly once per row and lets both
+    join sides reuse one exchange (the same fix textops' band rows got in
+    round 4 — this was the last union-shaped band generator)."""
+    key_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(_band_key_expr(planes, i, r, duck=False)).alias("bkey"),
+            )
+            for i in range(b)
+        ]
+    )
+    return emb.select("vec_id", F.explode(key_structs).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
 
 
 def cosine_near_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95,
-    r: int = NEARDUP_R, b: int = NEARDUP_B,
+    r: int | None = None, b: int = NEARDUP_B,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on banded hyperplane
     LSH buckets (replaces round-1's label blocking, whose few huge blocks
     went quadratic at scale). Candidates = pairs sharing a full sign
     pattern in any band; verification = exact cosine with precomputed norms
-    (fold order identical to the oracle → bit-equal doubles)."""
+    (fold order identical to the oracle → bit-equal doubles).
+
+    ``r=None`` (the default) SELF-SIZES the band width to the corpus:
+    ``neardup_r_for(count)`` keeps expected bucket occupancy ~32 docs, so
+    a caller invoking the operator with defaults can never hit the
+    quadratic blowup the fixed r=4 had at 10⁶+ docs (~62.5k docs per
+    bucket → ~2e9 candidate pairs per band; see neardup_r_for for the
+    recall consequence — near-exact duplicates still collide reliably).
+    Pass an explicit ``r`` to pin the banding (the oracle-parity queries
+    do: their DuckDB twin embeds the same fixed planes)."""
+    emb0 = load_embeddings(spark, sf_dir)
+    if r is None:
+        # one bounded scalar agg; at 10⁹ docs this is a count, not a risk
+        r = neardup_r_for(emb0.count())
     planes = hyperplanes(dim=64, n_planes=r * b)
-    emb = load_embeddings(spark, sf_dir).select(
+    emb = _spread_scan(emb0).select(
         "vec_id",
         "embedding",
         F.expr(f"sqrt({_dot_expr('embedding', 'embedding', False)})").alias("nrm"),

@@ -368,3 +368,32 @@ def test_session_merge_algebra_property(spark):
         assert whole.exceptAll(merged).count() == 0
 
     run()
+
+
+def test_neardup_r_self_sizing_rule():
+    # the sizing rule the default path must follow (VERDICT r5 item 1):
+    # r = max(4, ceil(log2(n / 32))) — bucket occupancy stays ~32 docs
+    assert similarity.neardup_r_for(10**3) == 5
+    assert similarity.neardup_r_for(10**6) == 15
+    assert similarity.neardup_r_for(10**9) == 25
+    assert similarity.neardup_r_for(500) == 4  # oracle corpus keeps r_min
+
+
+def test_cosine_near_pairs_default_self_sizes(spark):
+    # r=None derives neardup_r_for(count) inside the operator: on the
+    # small corpus that equals the explicit value, so results must match
+    n = similarity.load_embeddings(spark, SF_SMALL).count()
+    r_auto = similarity.neardup_r_for(n)
+    auto = {
+        (r.vec1, r.vec2)
+        for r in similarity.cosine_near_pairs(
+            spark, SF_SMALL, threshold=0.45
+        ).collect()
+    }
+    explicit = {
+        (r.vec1, r.vec2)
+        for r in similarity.cosine_near_pairs(
+            spark, SF_SMALL, threshold=0.45, r=r_auto
+        ).collect()
+    }
+    assert auto == explicit
