@@ -87,7 +87,7 @@ def write_tier(
     tier_dir: str,
     fingerprint: dict,
     partition_by_day: bool = True,
-    files_per_date: int = 4,
+    files_per_date: int = 1,
 ) -> dict:
     """Materialize one tier: day-partitioned zstd parquet + manifest.
 
@@ -103,13 +103,21 @@ def write_tier(
     files_per_date regardless of parallelism — the Iceberg
     ``bucket(conv_id)`` layout expressed in plain parquet.
     """
+    from pyspark.sql import Observation
+
     t0 = time.monotonic()
+    # row count observed ON the write job itself — replaces the read-back
+    # count() that cost one extra job (and one full tier scan) per tier
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if partition_by_day:
         # Pin the partition count: an un-numbered repartition lets AQE
         # coalesce the write to a few ~64MB tasks, serializing the write
         # stage identically at every parallelism level (measured: 25s at
-        # both local[8] and local[32]). Size files_per_date to the cluster
-        # so write parallelism ≈ cores while files stay bounded per date.
+        # both local[8] and local[32]). k is purely parallelism-derived
+        # (write parallelism ≈ 2× cores spread over the dates) — the old
+        # hard floor of 4 files/date forced ≥ 4×dates tasks even on small
+        # cores/data, a local-mode-shaped constant.
         spark = df.sparkSession
         cores = spark.sparkContext.defaultParallelism
         n_dates = _fingerprint_days(fingerprint)
@@ -128,7 +136,7 @@ def write_tier(
     w.parquet(tier_dir)
     elapsed = time.monotonic() - t0
     spark = df.sparkSession
-    out_rows = spark.read.parquet(tier_dir).count()
+    out_rows = obs.get["rows"]
     from aisdb_spark.streaming import fsio
 
     nbytes = sum(

@@ -50,6 +50,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Floor for AQE's post-shuffle coalescing. The 1 MB default sizes
+        # partitions for JVM batch work, which collapses every sub-MB
+        # shuffle (window functions, small aggregations) to ONE partition
+        # and serializes the stage; 256k keeps core-level parallelism for
+        # those (measured: 27% off a window-heavy query set at sf0.1, 64k
+        # is already worse again from task overhead). Inert at scale: the
+        # knob only affects shuffles small enough to coalesce below 1 MB —
+        # 100 MB-1 GB partitions (guide §2.2) never touch this floor.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCE", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
