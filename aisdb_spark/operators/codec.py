@@ -517,7 +517,7 @@ def compress_conversations_chunked(
         return encode_frame(pdf, ["conv_id", "chunk_id"])
 
     spark = df.sparkSession
-    n = shards or spark.sparkContext.defaultParallelism * 4
+    n = shards or spark.sparkContext.defaultParallelism * 2
     return (
         capped.withColumn("_shard", F.pmod(F.hash("conv_id", "chunk_id"), F.lit(n)))
         # explicit-count repartition: keeps the Python stage parallel under
@@ -572,7 +572,7 @@ def compress_conversations(df: DataFrame, shards: int | None = None) -> DataFram
         return encode_frame(pdf, ["conv_id"])
 
     spark = df.sparkSession
-    n = shards or spark.sparkContext.defaultParallelism * 4
+    n = shards or spark.sparkContext.defaultParallelism * 2
     return (
         df.select("conv_id", "turn_idx", "ts", "value")
         .withColumn("_shard", F.pmod(F.hash("conv_id"), F.lit(n)))

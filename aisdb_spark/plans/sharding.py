@@ -41,7 +41,7 @@ def apply_per_conv(
         return pd.concat(outs, ignore_index=True)
 
     spark = df.sparkSession
-    n = shards or spark.sparkContext.defaultParallelism * 4
+    n = shards or spark.sparkContext.defaultParallelism * 2
     return (
         df.withColumn("_shard", F.pmod(F.hash(key), F.lit(n)))
         # Explicit-count repartition on the shard key: groupBy alone hashes
