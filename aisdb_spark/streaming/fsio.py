@@ -28,8 +28,16 @@ from pyspark.sql import SparkSession
 
 
 def has_scheme(path: str) -> bool:
-    """True for URI-style paths (file://, hdfs://, s3a://, also file:/x)."""
-    return "://" in path or path.startswith("file:")
+    """True for URI-style paths — any ``scheme:`` prefix (file://, hdfs://,
+    s3a://, and the legal single-slash forms hdfs:/x, file:/x). The old
+    check only matched '://' or a 'file:' prefix, so 'hdfs:/tier' was
+    silently routed to the os/shutil branch — the round-4 local-no-op
+    failure class this module exists to prevent (r5 ADVICE item 2).
+    Schemes are required to be ≥2 chars so a Windows drive letter would
+    not match; real URI schemes in scope (file, hdfs, s3a, …) all are."""
+    import re
+
+    return re.match(r"^[A-Za-z][A-Za-z0-9+.-]+:", path) is not None
 
 
 def _hfs(spark: SparkSession, path: str):
@@ -75,6 +83,24 @@ def read_side_json(spark: SparkSession, tier_dir: str, name: str):
             return None
     from py4j.protocol import Py4JJavaError
 
+    def _is_missing(err: Py4JJavaError) -> bool:
+        """Only a genuinely-missing file maps to None. Any other Java
+        failure (throttling, network, auth) must PROPAGATE: txn.recover
+        treats None as 'no journal' and would delete the only pre-image
+        of an uncommitted swap, and last_applied_epoch would return -1
+        and re-apply a committed batch — a transient S3/HDFS fault must
+        not become silent data loss (r5 ADVICE item 1)."""
+        j = err.java_exception
+        while j is not None:
+            name_ = j.getClass().getName()
+            if name_ in (
+                "java.io.FileNotFoundException",
+                "org.apache.hadoop.fs.PathNotFoundException",
+            ):
+                return True
+            j = j.getCause()
+        return False
+
     try:
         fs, jp = _hfs(spark, f"{tier_dir}/{name}")
         if not fs.exists(jp):
@@ -99,8 +125,12 @@ def read_side_json(spark: SparkSession, tier_dir: str, name: str):
         finally:
             ins.close()
         return json.loads(data)
-    except (ValueError, Py4JJavaError):
-        return None
+    except ValueError:
+        return None  # corrupt JSON — every reader tolerates this
+    except Py4JJavaError as err:
+        if _is_missing(err):
+            return None
+        raise
 
 
 def write_side_json_atomic(

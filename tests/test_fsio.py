@@ -129,3 +129,16 @@ def test_uri_without_session_fails_loudly(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="active SparkSession"):
         fsio.session_for("s3a://bucket/tier")
     assert fsio.session_for(str(tmp_path)) is None  # plain path: still fine
+
+
+def test_has_scheme_single_slash_uris():
+    # r5 ADVICE: legal single-slash Hadoop URIs must route to the FS
+    # client, not the os/shutil branch (silent local no-op class)
+    from aisdb_spark.streaming import fsio
+
+    assert fsio.has_scheme("hdfs:/tier")
+    assert fsio.has_scheme("s3a:/bucket/x")
+    assert fsio.has_scheme("file:/tmp/x")
+    assert fsio.has_scheme("file:///tmp/x")
+    assert not fsio.has_scheme("/plain/local/path")
+    assert not fsio.has_scheme("relative/path")
