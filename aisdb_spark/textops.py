@@ -299,14 +299,39 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _sigs_with_hs(docs: DataFrame) -> DataFrame:
+    """(doc_id, _hs, mh0..mh7) — the internal signature frame the band
+    generators build on. Keeps ``_hs`` so emptiness is a cheap ``size``
+    check in a PROJECTION, not a filter: a ``mh0 IS NOT NULL`` filter gets
+    predicate-pushed below the spread exchange with the whole signature
+    expression substituted in, re-evaluating tokenize+md5+minhash on the
+    pre-spread (single) scan partition — measured 6.7 s vs 1.1 s for the
+    band rows at 100k docs."""
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(_hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return (
+        _spread_scan(docs)
+        .withColumn("_hs", F.expr(_SHINGLE_HASHES_EXPR))
+        .select("doc_id", "_hs", *sig_cols)
+    )
+
+
 def minhash_band_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bkey) LSH band rows — one explode pass instead of an
     LSH_BANDS-way unionByName: the union re-evaluated the signature
     aggregation per branch AND per self-join side; a single subtree lets
     both join sides reuse one exchange (same fix as simhash_near_pairs —
-    see PLANS.md). Shared by lsh_candidate_pairs and the large-corpus
-    occupancy measurement (bench_similarity_large.py)."""
-    mh = with_minhash(docs).filter(F.col("mh0").isNotNull())
+    see PLANS.md). Empty-shingle docs (<3 tokens) emit a NULL band array —
+    ``explode`` drops them, the exact contract of the old ``mh0 IS NOT
+    NULL`` filter without giving the optimizer a predicate to push below
+    the spread exchange (see _sigs_with_hs). Shared by
+    lsh_candidate_pairs and the large-corpus occupancy measurement
+    (bench_similarity_large.py)."""
+    mh = _sigs_with_hs(docs)
     key_structs = F.array(
         *[
             F.struct(
@@ -322,7 +347,8 @@ def minhash_band_rows(docs: DataFrame) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
-    return mh.select("doc_id", F.explode(key_structs).alias("bk")).select(
+    bands_arr = F.when(F.size("_hs") > 0, key_structs)
+    return mh.select("doc_id", F.explode(bands_arr).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
 
@@ -388,7 +414,16 @@ def with_simhash(docs: DataFrame) -> DataFrame:
     than the explode + 60-conditional-sum aggregation it replaces, and the
     per-row shape scales embarrassingly (no per-doc group state at all).
     Null-text docs are dropped, preserving the previous inner-join
-    contract."""
+    contract. (Band generation goes through :func:`_simhash_sigs`
+    directly — this public filter is a pushdown hazard, see there.)"""
+    return _simhash_sigs(docs).filter(F.col("simhash").isNotNull())
+
+
+def _simhash_sigs(docs: DataFrame) -> DataFrame:
+    """docs + ``simhash`` column, null-text docs KEPT (null simhash) so
+    no caller needs a null filter the optimizer could push below the
+    spread exchange (re-evaluating the fold on the unspread scan — see
+    _sigs_with_hs)."""
     hs_expr = (
         "transform(array(split(text, '\\\\s+')), ts -> "
         f"transform(ts, tok -> {_S['H60'].format(s='tok')}))[0]"
@@ -407,7 +442,6 @@ def with_simhash(docs: DataFrame) -> DataFrame:
         .withColumn("_c", F.expr(cnt_expr))
         .withColumn("simhash", F.expr(f"({assemble})"))
         .drop("_hs", "_c")
-        .filter(F.col("simhash").isNotNull())
     )
 
 
@@ -416,9 +450,12 @@ def simhash_band_rows(docs: DataFrame) -> DataFrame:
     explode pass: the old 10-way unionByName re-evaluated the signature
     subtree per branch and per join side; with a single subtree both sides
     of the self-join shuffle the SAME exchange (ReusedExchange in the
-    plan) — measured 7.2 s → see PLANS.md. Shared by simhash_near_pairs
-    and the large-corpus occupancy measurement."""
-    sh = with_simhash(docs).select("doc_id", "simhash")
+    plan) — measured 7.2 s → see PLANS.md. Null-text docs emit a NULL band
+    array — ``explode`` drops them (the old inner-join contract) without a
+    pushable ``IS NOT NULL`` predicate (see _sigs_with_hs for why that
+    matters). Shared by simhash_near_pairs and the large-corpus occupancy
+    measurement."""
+    sh = _simhash_sigs(docs)
     key_structs = F.array(
         *[
             F.struct(
@@ -428,8 +465,9 @@ def simhash_band_rows(docs: DataFrame) -> DataFrame:
             for i, (b1, b2) in enumerate(SIMHASH_BAND_PAIRS)
         ]
     )
+    bands_arr = F.when(F.col("simhash").isNotNull(), key_structs)
     return sh.select(
-        "doc_id", "simhash", F.explode(key_structs).alias("bk")
+        "doc_id", "simhash", F.explode(bands_arr).alias("bk")
     ).select(
         "doc_id", "simhash",
         F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"),
@@ -469,14 +507,15 @@ def ngram_band_rows(docs: DataFrame) -> DataFrame:
     signature subtree, one exchange reused by both self-join sides (see
     PLANS.md). Shared by ngram_jaccard_pairs and the large-corpus
     occupancy measurement."""
-    mh = with_minhash(docs).filter(F.col("mh0").isNotNull())
+    mh = _sigs_with_hs(docs)
     key_structs = F.array(
         *[
             F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("bkey"))
             for i in range(len(MINHASH_COEFFS))
         ]
     )
-    return mh.select("doc_id", F.explode(key_structs).alias("bk")).select(
+    bands_arr = F.when(F.size("_hs") > 0, key_structs)
+    return mh.select("doc_id", F.explode(bands_arr).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
 
