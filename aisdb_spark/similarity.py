@@ -226,10 +226,17 @@ def cosine_near_pairs(
         # one bounded scalar agg; at 10⁹ docs this is a count, not a risk
         r = neardup_r_for(emb0.count())
     planes = hyperplanes(dim=64, n_planes=r * b)
+    # coalesce makes nrm non-nullable: without it the cos>=threshold
+    # filter infers isnotnull(nrm1/nrm2) and predicate-pushes the whole
+    # sqrt(dot) fold below the spread exchange, evaluating it twice (once
+    # on the unspread scan). A null embedding yields a null dot → null
+    # cos → dropped either way, so results are unchanged.
     emb = _spread_scan(emb0).select(
         "vec_id",
         "embedding",
-        F.expr(f"sqrt({_dot_expr('embedding', 'embedding', False)})").alias("nrm"),
+        F.expr(
+            f"coalesce(sqrt({_dot_expr('embedding', 'embedding', False)}), 0.0D)"
+        ).alias("nrm"),
     )
     bands = cosine_band_rows(emb, planes, r, b)
     l, rr = bands.alias("l"), bands.alias("r")
