@@ -1734,14 +1734,13 @@ def late_upsert_1min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier with dynamic partition overwrite (streaming/upsert.py). The oracle
     is the plain one-shot batch rollup of the FULL input: equality proves
     the incremental merge converges to the batch answer."""
-    import tempfile
-
     from pyspark.sql import types as T
 
+    from aisdb_spark.streaming import fsio
     from aisdb_spark.streaming import upsert as ups
 
     tv = _tv(spark, sf_dir).select("conv_id", "turn_idx", "ts", "value")
-    base = tempfile.mkdtemp(prefix="spark_upsert_")
+    base = fsio.scratch_dir("spark_upsert_")
     landing, tier, ck = (f"{base}/{d}" for d in ("landing", "tier", "ck"))
     schema = T.StructType(
         [
@@ -1773,14 +1772,12 @@ def streaming_ewma_03_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     virgin-state path is pandas' own kernel, so this reuses ewma_03's
     bit-exact recursive-CTE oracle; cross-batch state continuation is
     covered by tests/test_stateful_stream.py (≤1e-9 IEEE drift bound)."""
-    import tempfile
-
     from pyspark.sql import types as T
 
-    from aisdb_spark.streaming import stateful
+    from aisdb_spark.streaming import fsio, stateful
 
     tv = _tv(spark, sf_dir).select("conv_id", "turn_idx", "ts", "value")
-    base = tempfile.mkdtemp(prefix="spark_sewma_")
+    base = fsio.scratch_dir("spark_sewma_")
     schema = T.StructType(
         [
             T.StructField("conv_id", T.StringType()),
@@ -1818,12 +1815,11 @@ def retention_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention policy. The oracle is the batch rollup restricted to the
     surviving dates — equality proves retention dropped exactly the right
     partitions and compaction changed no row anywhere."""
-    import tempfile
-
     from aisdb_spark import checkpoint, maintenance
+    from aisdb_spark.streaming import fsio
 
     tv = _tv(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="spark_maint_")
+    base = fsio.scratch_dir("spark_maint_")
     checkpoint.materialize_cascade(spark, tv, base)
     tier = f"{base}/1min"
     parts = maintenance._date_partitions(tier)

@@ -64,6 +64,27 @@ def session_for(path: str) -> SparkSession | None:
     return spark
 
 
+def scratch_dir(prefix: str) -> str:
+    """Fresh scratch directory for transient tier state (streaming-drain
+    tiers, upsert landings). Honors ``SPARK_GRAFT_SCRATCH``; defaults to
+    tmpfs (``/dev/shm``) when writable — the same placement (and the
+    same justification) as ``spark.local.dir`` in session.py: this
+    sandbox's /tmp is a slow virtual disk (a 1-micro-batch drain measured
+    2.16 s on /tmp vs 1.64 s on tmpfs), while on a real cluster this is
+    the local-SSD scratch volume. Falls back to the platform tempdir."""
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        base = "/dev/shm/aisdb-scratch"
+    if base:
+        os.makedirs(base, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def join(base: str, *names: str) -> str:
     """Scheme-preserving path join (os.path.join would mangle nothing
     here on posix, but be explicit about the URI contract)."""

@@ -323,10 +323,10 @@ def drained_rollup_1min(
     partitions (measured, same file). The native watermarked update-mode
     operator (:func:`stream_rollup_1min` + :func:`upsert_rollup_batch`)
     remains the continuous-pipeline path, pytest-covered."""
-    import tempfile
+    from aisdb_spark.streaming import fsio
 
     normalize_session(spark)
-    base = out_base or tempfile.mkdtemp(prefix="spark_stream_rollup_")
+    base = out_base or fsio.scratch_dir("spark_stream_rollup_")
     tier, ck = f"{base}/tier", f"{base}/ck"
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if glob:
@@ -624,10 +624,10 @@ def drained_user_sessions(
     not driver memory; the native session_window operator remains
     :func:`stream_user_sessions` for continuous pipelines, append-mode
     pytest-covered."""
-    import tempfile
+    from aisdb_spark.streaming import fsio
 
     normalize_session(spark)
-    base = out_base or tempfile.mkdtemp(prefix="spark_stream_sess_")
+    base = out_base or fsio.scratch_dir("spark_stream_sess_")
     tier, ck = f"{base}/tier", f"{base}/ck"
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if glob:
