@@ -529,6 +529,26 @@ def compress_conversations_chunked(
     )
 
 
+def _decode_enc_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Decode a frame of (conv_id, ts_blob, val_blob) rows → point rows.
+    Each blob is self-contained, so row order only affects output order
+    (immaterial to the unordered result sets the queries produce)."""
+    convs, tss, vss = [], [], []
+    for conv, tb, vb in zip(pdf["conv_id"], pdf["ts_blob"], pdf["val_blob"]):
+        t = decode_ts(bytes(tb))
+        v = decode_vals(bytes(vb))
+        convs.append(np.repeat(conv, len(t)))
+        tss.append(t)
+        vss.append(v)
+    return pd.DataFrame(
+        {
+            "conv_id": np.concatenate(convs),
+            "ts": pd.to_datetime(np.concatenate(tss), unit="us"),
+            "value": np.concatenate(vss),
+        }
+    )
+
+
 def decompress_conversations_chunked(enc: DataFrame) -> DataFrame:
     """Inverse of compress_conversations_chunked → (conv_id, ts, value);
     chunk order is restored by sorting blobs on (conv_id, chunk_id)."""
@@ -537,23 +557,47 @@ def decompress_conversations_chunked(enc: DataFrame) -> DataFrame:
         for pdf in it:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values(["conv_id", "chunk_id"], kind="stable")
-            convs, tss, vss = [], [], []
-            for conv, tb, vb in zip(pdf["conv_id"], pdf["ts_blob"], pdf["val_blob"]):
-                t = decode_ts(bytes(tb))
-                v = decode_vals(bytes(vb))
-                convs.append(np.repeat(conv, len(t)))
-                tss.append(t)
-                vss.append(v)
-            yield pd.DataFrame(
-                {
-                    "conv_id": np.concatenate(convs),
-                    "ts": pd.to_datetime(np.concatenate(tss), unit="us"),
-                    "value": np.concatenate(vss),
-                }
+            yield _decode_enc_pdf(
+                pdf.sort_values(["conv_id", "chunk_id"], kind="stable")
             )
 
     return enc.mapInPandas(_batches, "conv_id string, ts timestamp, value double")
+
+
+def roundtrip_conversations_chunked(
+    df: DataFrame, max_rows: int = 50_000, shards: int | None = None
+) -> DataFrame:
+    """Chunk-capped encode → decode in ONE Python stage (guide §4: the
+    two-stage form ships every encoded blob JVM→Python→JVM→Python just to
+    decode it again; fusing keeps the blobs inside the worker that built
+    them). Same window cap, same shard exchange, same kernels — byte-wise
+    the identical encode step as ``compress_conversations_chunked``
+    followed by ``_decode_enc_pdf``, so the output rows are identical to
+    the two-stage path (asserted in tests/test_codec.py)."""
+    from aisdb_spark.plans.partitioning import cap_group_size
+
+    capped = cap_group_size(
+        df.select("conv_id", "turn_idx", "ts", "value"), max_rows
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "chunk_id", "turn_idx"], kind="stable")
+        enc = encode_frame(pdf, ["conv_id", "chunk_id"])
+        if enc.empty:
+            return pd.DataFrame({"conv_id": [], "ts": [], "value": []})
+        return _decode_enc_pdf(enc)
+
+    spark = df.sparkSession
+    n = shards or spark.sparkContext.defaultParallelism * 2
+    return (
+        capped.withColumn("_shard", F.pmod(F.hash("conv_id", "chunk_id"), F.lit(n)))
+        .repartition(n, "_shard")
+        .groupBy("_shard")
+        .applyInPandas(
+            lambda pdf: _shard(pdf.drop(columns=["_shard"])),
+            "conv_id string, ts timestamp, value double",
+        )
+    )
 
 
 def compress_conversations(df: DataFrame, shards: int | None = None) -> DataFrame:
@@ -667,15 +711,10 @@ def decompress_conversations(enc: DataFrame) -> DataFrame:
     return enc.mapInPandas(_batches, "conv_id string, ts timestamp, value double")
 
 
-def decompress_conversations_arrow(enc: DataFrame) -> DataFrame:
-    """Arrow-native decode: ``mapInArrow`` over the blob table (SURVEY.md
-    §2.9's stated kernel surface). Identical output to
-    ``decompress_conversations``; skips the Arrow→pandas→Arrow conversion
-    entirely — the decoded numpy arrays are handed straight back as Arrow
-    arrays (zero-copy for the fixed-width ts/value columns), which matters
-    when decode feeds another JVM stage at 100 TB (no object-dtype
-    materialization of conv_id strings per row on the Python side either:
-    the repeated-key column is built as one DictionaryArray)."""
+def decode_enc_batches_arrow(it):
+    """Arrow decode generator over encoded RecordBatches — shared by
+    :func:`decompress_conversations_arrow` (standalone stage) and the
+    fused roundtrip in ``codec_arrow`` (same bytes in, same rows out)."""
     import pyarrow as pa
 
     out_schema = pa.schema(
@@ -685,32 +724,42 @@ def decompress_conversations_arrow(enc: DataFrame) -> DataFrame:
             pa.field("value", pa.float64()),
         ]
     )
+    for rb in it:
+        if rb.num_rows == 0:
+            continue
+        convs = rb.column(rb.schema.get_field_index("conv_id"))
+        tbs = rb.column(rb.schema.get_field_index("ts_blob"))
+        vbs = rb.column(rb.schema.get_field_index("val_blob"))
+        tss, vss, lens = [], [], np.empty(rb.num_rows, dtype=np.int64)
+        for g in range(rb.num_rows):
+            t = decode_ts(tbs[g].as_py())
+            vss.append(decode_vals(vbs[g].as_py()))
+            tss.append(t)
+            lens[g] = len(t)
+        # conv_id expanded as a dictionary array: indices repeat, the
+        # string values stay one-per-conversation
+        idx = np.repeat(np.arange(rb.num_rows, dtype=np.int32), lens)
+        conv_col = pa.DictionaryArray.from_arrays(pa.array(idx), convs)
+        ts_col = pa.array(np.concatenate(tss) if tss else np.array([], np.int64)).cast(
+            pa.timestamp("us")
+        )
+        val_col = pa.array(
+            np.concatenate(vss) if vss else np.array([], np.float64)
+        )
+        yield pa.RecordBatch.from_arrays(
+            [conv_col.cast(pa.string()), ts_col, val_col], schema=out_schema
+        )
 
-    def _batches(it):
-        for rb in it:
-            if rb.num_rows == 0:
-                continue
-            convs = rb.column(rb.schema.get_field_index("conv_id"))
-            tbs = rb.column(rb.schema.get_field_index("ts_blob"))
-            vbs = rb.column(rb.schema.get_field_index("val_blob"))
-            tss, vss, lens = [], [], np.empty(rb.num_rows, dtype=np.int64)
-            for g in range(rb.num_rows):
-                t = decode_ts(tbs[g].as_py())
-                vss.append(decode_vals(vbs[g].as_py()))
-                tss.append(t)
-                lens[g] = len(t)
-            # conv_id expanded as a dictionary array: indices repeat, the
-            # string values stay one-per-conversation
-            idx = np.repeat(np.arange(rb.num_rows, dtype=np.int32), lens)
-            conv_col = pa.DictionaryArray.from_arrays(pa.array(idx), convs)
-            ts_col = pa.array(np.concatenate(tss) if tss else np.array([], np.int64)).cast(
-                pa.timestamp("us")
-            )
-            val_col = pa.array(
-                np.concatenate(vss) if vss else np.array([], np.float64)
-            )
-            yield pa.RecordBatch.from_arrays(
-                [conv_col.cast(pa.string()), ts_col, val_col], schema=out_schema
-            )
 
-    return enc.mapInArrow(_batches, "conv_id string, ts timestamp, value double")
+def decompress_conversations_arrow(enc: DataFrame) -> DataFrame:
+    """Arrow-native decode: ``mapInArrow`` over the blob table (SURVEY.md
+    §2.9's stated kernel surface). Identical output to
+    ``decompress_conversations``; skips the Arrow→pandas→Arrow conversion
+    entirely — the decoded numpy arrays are handed straight back as Arrow
+    arrays (zero-copy for the fixed-width ts/value columns), which matters
+    when decode feeds another JVM stage at 100 TB (no object-dtype
+    materialization of conv_id strings per row on the Python side either:
+    the repeated-key column is built as one DictionaryArray)."""
+    return enc.mapInArrow(
+        decode_enc_batches_arrow, "conv_id string, ts timestamp, value double"
+    )

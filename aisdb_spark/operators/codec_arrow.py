@@ -70,12 +70,9 @@ def _encode_block(conv: np.ndarray, t: np.ndarray, v: np.ndarray) -> pa.RecordBa
     )
 
 
-def compress_partitions_arrow(
-    df: DataFrame, assume_partitioned: bool = False
-) -> DataFrame:
-    """Zero-shuffle Arrow-native encoder: sortWithinPartitions (JVM) →
-    ``mapInArrow`` with cross-batch tail carry-over. See
-    ``codec.compress_partitions`` for the partitioning contract."""
+def _prep_sorted(df: DataFrame, assume_partitioned: bool) -> DataFrame:
+    """(conv_id, ts, value) sorted within conv-hashed partitions — the
+    shared JVM-side prep for the encode and fused-roundtrip stages."""
     base = df.select("conv_id", "turn_idx", "ts", "value")
     if not assume_partitioned:
         # explicit-count repartition: a bare repartition("conv_id") is a
@@ -90,9 +87,14 @@ def compress_partitions_arrow(
             spark.sparkContext.defaultParallelism,
         )
         base = base.repartition(n, "conv_id")
-    base = base.sortWithinPartitions("conv_id", "turn_idx").select(
+    return base.sortWithinPartitions("conv_id", "turn_idx").select(
         "conv_id", "ts", "value"
     )
+
+
+def _encode_batches(it):
+    """Encoded RecordBatch generator over sorted input batches, with
+    cross-batch conversation-tail carry-over."""
 
     def _np_cols(rb: pa.RecordBatch):
         conv = np.asarray(rb.column(0).to_numpy(zero_copy_only=False))
@@ -107,24 +109,52 @@ def compress_partitions_arrow(
         )
         return conv, t, v
 
-    def _parts(it):
-        carry = None
-        for rb in it:
-            if rb.num_rows == 0:
-                continue
-            conv, t, v = _np_cols(rb)
-            if carry is not None:
-                conv = np.concatenate([carry[0], conv])
-                t = np.concatenate([carry[1], t])
-                v = np.concatenate([carry[2], v])
-            # the final conversation may continue in the next batch
-            not_last = np.flatnonzero(conv != conv[-1])
-            tail_start = int(not_last[-1]) + 1 if len(not_last) else 0
-            body = (conv[:tail_start], t[:tail_start], v[:tail_start])
-            carry = (conv[tail_start:], t[tail_start:], v[tail_start:])
-            if tail_start:
-                yield _encode_block(*body)
-        if carry is not None and len(carry[0]):
-            yield _encode_block(*carry)
+    carry = None
+    for rb in it:
+        if rb.num_rows == 0:
+            continue
+        conv, t, v = _np_cols(rb)
+        if carry is not None:
+            conv = np.concatenate([carry[0], conv])
+            t = np.concatenate([carry[1], t])
+            v = np.concatenate([carry[2], v])
+        # the final conversation may continue in the next batch
+        not_last = np.flatnonzero(conv != conv[-1])
+        tail_start = int(not_last[-1]) + 1 if len(not_last) else 0
+        body = (conv[:tail_start], t[:tail_start], v[:tail_start])
+        carry = (conv[tail_start:], t[tail_start:], v[tail_start:])
+        if tail_start:
+            yield _encode_block(*body)
+    if carry is not None and len(carry[0]):
+        yield _encode_block(*carry)
 
-    return base.mapInArrow(_parts, _ENC_SCHEMA)
+
+def compress_partitions_arrow(
+    df: DataFrame, assume_partitioned: bool = False
+) -> DataFrame:
+    """Zero-shuffle Arrow-native encoder: sortWithinPartitions (JVM) →
+    ``mapInArrow`` with cross-batch tail carry-over. See
+    ``codec.compress_partitions`` for the partitioning contract."""
+    return _prep_sorted(df, assume_partitioned).mapInArrow(
+        _encode_batches, _ENC_SCHEMA
+    )
+
+
+def roundtrip_partitions_arrow(
+    df: DataFrame, assume_partitioned: bool = False
+) -> DataFrame:
+    """Arrow encode → decode fused into ONE ``mapInArrow`` stage (guide
+    §4: the two-stage form ships every encoded blob JVM→Python→JVM→Python
+    just to decode it again; composing the generators keeps the blobs
+    inside the worker that built them). Bytes and rows are identical to
+    ``decompress_conversations_arrow(compress_partitions_arrow(df))`` —
+    the same ``_encode_batches`` output feeds the same
+    ``decode_enc_batches_arrow`` (asserted in tests/test_codec.py)."""
+    from aisdb_spark.operators.codec import decode_enc_batches_arrow
+
+    def _fused(it):
+        yield from decode_enc_batches_arrow(_encode_batches(it))
+
+    return _prep_sorted(df, assume_partitioned).mapInArrow(
+        _fused, "conv_id string, ts timestamp, value double"
+    )

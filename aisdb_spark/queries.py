@@ -906,20 +906,23 @@ def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     routes in one driver row (registry folded round 4):
 
     - ``arrow``: Arrow-native encode (``mapInArrow``,
-      codec_arrow.compress_partitions_arrow) → Arrow-native decode
-      (``decompress_conversations_arrow``) — now the registry-default
-      decode path (round-3 verdict item 4; byte-identical to the pandas
-      path per tests/test_codec.py, skips Arrow→pandas→Arrow);
+      codec_arrow ``_encode_batches``) → Arrow-native decode
+      (``decode_enc_batches_arrow``) — the registry-default decode path
+      (round-3 verdict item 4; byte-identical to the pandas path per
+      tests/test_codec.py, skips Arrow→pandas→Arrow);
     - ``chunked``: group-size-capped blobs (max_rows=40 forces multi-chunk
       conversations; AISdb's 50k batching precedent,
-      aisdb_lib/src/decode.rs:19) → chunk-concatenating decode."""
+      aisdb_lib/src/decode.rs:19) → chunk-concatenating decode.
+
+    Round 6: each variant's encode→decode runs FUSED in one Python stage
+    (``roundtrip_partitions_arrow`` / ``roundtrip_conversations_chunked``)
+    — same kernels, same blobs, identical rows, but the encoded bytes no
+    longer cross the JVM↔Python boundary twice per variant (guide §4)."""
     tv = _tv(spark, sf_dir)
-    enc = codec_arrow.compress_partitions_arrow(tv)
-    whole = codec.decompress_conversations_arrow(enc).withColumn(
+    whole = codec_arrow.roundtrip_partitions_arrow(tv).withColumn(
         "variant", F.lit("arrow")
     )
-    encc = codec.compress_conversations_chunked(tv, max_rows=40)
-    chunked = codec.decompress_conversations_chunked(encc).withColumn(
+    chunked = codec.roundtrip_conversations_chunked(tv, max_rows=40).withColumn(
         "variant", F.lit("chunked")
     )
     return whole.unionByName(chunked)

@@ -165,3 +165,27 @@ def test_arrow_encoder_blob_identical_to_pandas_encoder(spark, synth):
         for r in codec.compress_partitions(tv).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_fused_roundtrips_equal_two_stage(spark, synth):
+    """The round-6 fused encode→decode stages (one Python stage per
+    variant) return exactly the rows of the two-stage pipelines they
+    replace in gorilla_roundtrip."""
+    from aisdb_spark.operators import codec, codec_arrow, dedup
+    from aisdb_spark.sources.transcripts import with_value
+
+    tv = with_value(dedup.dedup_turns(synth)).filter(F.col("value").isNotNull())
+
+    two_stage_arrow = codec.decompress_conversations_arrow(
+        codec_arrow.compress_partitions_arrow(tv)
+    )
+    fused_arrow = codec_arrow.roundtrip_partitions_arrow(tv)
+    assert fused_arrow.exceptAll(two_stage_arrow).count() == 0
+    assert two_stage_arrow.exceptAll(fused_arrow).count() == 0
+
+    two_stage_chunked = codec.decompress_conversations_chunked(
+        codec.compress_conversations_chunked(tv, max_rows=40)
+    )
+    fused_chunked = codec.roundtrip_conversations_chunked(tv, max_rows=40)
+    assert fused_chunked.exceptAll(two_stage_chunked).count() == 0
+    assert two_stage_chunked.exceptAll(fused_chunked).count() == 0
