@@ -114,14 +114,21 @@ def write_tier(
         # Pin the partition count: an un-numbered repartition lets AQE
         # coalesce the write to a few ~64MB tasks, serializing the write
         # stage identically at every parallelism level (measured: 25s at
-        # both local[8] and local[32]). k is purely parallelism-derived
-        # (write parallelism ≈ 2× cores spread over the dates) — the old
-        # hard floor of 4 files/date forced ≥ 4×dates tasks even on small
-        # cores/data, a local-mode-shaped constant.
-        spark = df.sparkSession
-        cores = spark.sparkContext.defaultParallelism
+        # both local[8] and local[32]). k (files per date) is SIZE-derived
+        # (guide §6 output file sizing): one file per ~1M tier rows per
+        # date, floored at ``files_per_date``. Small tiers write
+        # dates×1 files (commit cost ∝ file count — a 10k-row tier wrote
+        # 2.5x faster at k=1 than at the old parallelism-derived k=3 on
+        # this box's /tmp); big tiers grow k with the data, which also
+        # yields ≥cores write tasks exactly when there is enough data for
+        # parallelism to matter. File count stays parallelism-INDEPENDENT
+        # either way (the round-5 N→4N requirement). The input row count
+        # from the fingerprint upper-bounds the tier's rows.
         n_dates = _fingerprint_days(fingerprint)
-        k = max(files_per_date, -(-2 * cores // max(n_dates, 1)))
+        rows_bound = int(fingerprint.get("rows", 0) or 0)
+        k = max(
+            files_per_date, -(-rows_bound // (1_000_000 * max(n_dates, 1)))
+        )
         writer = (
             df.withColumn("bucket_date", F.to_date("bucket_start"))
             .repartition(
