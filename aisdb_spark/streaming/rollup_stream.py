@@ -150,7 +150,10 @@ def upsert_rollup_batch(
     # anti-join, write) — persist keeps per-batch cost ∝ updated keys
     new = batch.withColumn("bucket_date", F.to_date("bucket_start")).persist()
     try:
-        dates = [r[0] for r in new.select("bucket_date").distinct().collect()]
+        # one job returns the touched dates AND the batch row count — the
+        # count sizes the swap's output files (txn.swap_commit rows_hint)
+        by_date = new.groupBy("bucket_date").count().collect()
+        dates = [r["bucket_date"] for r in by_date]
         if not dates:
             return
         out = new
@@ -167,7 +170,10 @@ def upsert_rollup_batch(
             # swap_commit renames away (first-batch writes have no
             # self-read and skip the double materialization)
             out = keep.unionByName(new).localCheckpoint(eager=True)
-        txn.swap_commit(spark, tier_dir, out, dates, epoch_id=epoch_id)
+        txn.swap_commit(
+            spark, tier_dir, out, dates, epoch_id=epoch_id,
+            rows_hint=sum(r["count"] for r in by_date),
+        )
     finally:
         new.unpersist()
 
@@ -280,7 +286,10 @@ def upsert_rollup_partials_batch(
         "bucket_date", F.to_date("bucket_start")
     ).persist()
     try:
-        dates = [r[0] for r in newp.select("bucket_date").distinct().collect()]
+        # one job returns the touched dates AND the batch row count — the
+        # count sizes the swap's output files (txn.swap_commit rows_hint)
+        by_date = newp.groupBy("bucket_date").count().collect()
+        dates = [r["bucket_date"] for r in by_date]
         if not dates:
             return
         merged = newp
@@ -297,7 +306,10 @@ def upsert_rollup_partials_batch(
             # swap_commit renames away (first-batch writes skip the
             # double materialization)
             merged = merged.localCheckpoint(eager=True)
-        txn.swap_commit(spark, tier_dir, merged, dates, epoch_id=epoch_id)
+        txn.swap_commit(
+            spark, tier_dir, merged, dates, epoch_id=epoch_id,
+            rows_hint=sum(r["count"] for r in by_date),
+        )
     finally:
         newp.unpersist()
 
@@ -578,23 +590,26 @@ def upsert_sessions_batch(
             out = out.localCheckpoint(eager=True)
         else:
             out = out.persist()
-        max_span = int(
-            out.agg(
-                F.max(
-                    F.datediff(
-                        F.to_date("session_end"), F.to_date("session_start")
-                    )
-                ).alias("span")
-            ).first()["span"]
-            or 0
-        )
+        stats = out.agg(
+            F.max(
+                F.datediff(
+                    F.to_date("session_end"), F.to_date("session_start")
+                )
+            ).alias("span"),
+            # rides the span job for free: sizes the swap's output files
+            F.count(F.lit(1)).alias("rows"),
+        ).first()
+        max_span = int(stats["span"] or 0)
         if max_span > horizon:  # widen BEFORE the write (over-estimate safe)
             _record_session_horizon(spark, tier_dir, max_span)
         # swap dates = the read window: out dates ⊆ read dates (a merged
         # session's start comes from a read partition or the batch, and
         # batch dates sit inside the window), so the journal covers every
         # partition this commit may clear or write
-        txn.swap_commit(spark, tier_dir, out, read_dates, epoch_id=epoch_id)
+        txn.swap_commit(
+            spark, tier_dir, out, read_dates, epoch_id=epoch_id,
+            rows_hint=int(stats["rows"] or 0),
+        )
         if not had_tier:
             out.unpersist()
     finally:

@@ -157,15 +157,22 @@ def swap_commit(
     dates,
     epoch_id: int | None = None,
     pending_refresh: list | None = None,
+    rows_hint: int | None = None,
 ) -> None:
     """Steps 1-5 above. ``out`` must carry a ``bucket_date`` column whose
     values fall inside ``dates`` (every date the merge read or writes),
     and its plan must NOT read the tier lazily — callers that merged with
     existing tier rows localCheckpoint first (they already did, for
     dynamic-overwrite lineage), because step 2 renames those partitions
-    away before the write."""
+    away before the write.
+
+    ``rows_hint``: the caller's row count for the NEW side of the merge
+    (callers get it for free from the same job that finds the touched
+    dates). Together with the on-disk bytes of the backed-up partitions
+    (already listed for the journal), it sizes the output file count."""
     dates = sorted({str(d) for d in dates})
     backed, files = [], {}
+    backed_bytes = 0
     for d in dates:
         entries = fsio.list_entries(spark, f"{tier_dir}/bucket_date={d}")
         if entries:
@@ -174,6 +181,7 @@ def swap_commit(
             # INSIDE a copy+delete rename (S3A) file-by-file instead of
             # trusting backup-directory existence as a complete pre-image
             files[d] = sorted(n for n, _sz, is_dir in entries if not is_dir)
+            backed_bytes += sum(sz for _n, sz, is_dir in entries if not is_dir)
     journal = {"epoch": epoch_id, "backed": backed, "cleared": dates,
                "files": files}
     fsio.write_side_json_atomic(spark, tier_dir, JOURNAL, journal)
@@ -187,15 +195,26 @@ def swap_commit(
     # without this every shuffle partition writes a sliver into every date
     # directory — file count ∝ parallelism × dates (measured 1,920 files
     # per micro-batch at 32 partitions × 30 dates, 4-16 s to write and as
-    # long again to read back). With it, file count is dates × k and the
-    # write stays spread over ~2× cores tasks — the same bucketed layout
-    # rule as checkpoint.write_tier. The salt is a deterministic row hash
-    # (task retries reproduce the same placement, guide §2.5).
+    # long again to read back). With it, file count is dates × k — the
+    # same bucketed layout rule as checkpoint.write_tier. k is
+    # SIZE-derived (guide §6): ~512 MB of pre-existing partition bytes or
+    # ~1M new rows per file per date, floor 1 — small micro-batches write
+    # one file per date (commit cost ∝ file count; the old 2×cores rule
+    # wrote 3× the files for 10k-row batches), big partitions grow k with
+    # the data, which also restores ≥cores write tasks exactly when there
+    # is enough data for parallelism to matter. The salt is a
+    # deterministic row hash (task retries reproduce the same placement,
+    # guide §2.5). Callers that cannot hint fall back to bytes-only
+    # sizing (first batch into an empty tier: k=1, correct for any batch
+    # a single task can write).
     from pyspark.sql import functions as F
 
-    cores = spark.sparkContext.defaultParallelism
     n_dates = max(len(dates), 1)
-    k = max(1, -(-2 * cores // n_dates))
+    k = max(
+        1,
+        -(-backed_bytes // (512 * 1024 * 1024 * n_dates)),
+        -(-int(rows_hint or 0) // (1_000_000 * n_dates)),
+    )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in out.columns]), F.lit(k))
     out = out.repartition(n_dates * k, F.col("bucket_date"), salt)
     (

@@ -122,10 +122,10 @@ def upsert_batch(
         "bucket_date", F.to_date("bucket_start")
     ).persist()
     try:
-        dates = [
-            r["bucket_date"]
-            for r in newp.select("bucket_date").distinct().collect()
-        ]
+        # one job returns the touched dates AND the batch row count — the
+        # count sizes the swap's output files (txn.swap_commit rows_hint)
+        by_date = newp.groupBy("bucket_date").count().collect()
+        dates = [r["bucket_date"] for r in by_date]
         if not dates:
             return []
         merged = newp
@@ -146,6 +146,7 @@ def upsert_batch(
         txn.swap_commit(
             spark, tier_dir, merged, dates, epoch_id=epoch_id,
             pending_refresh=dates if pending_refresh else None,
+            rows_hint=sum(r["count"] for r in by_date),
         )
         return dates
     finally:
@@ -216,9 +217,11 @@ def refresh_coarser(
         )
         tier = tier.localCheckpoint(eager=True)
         # date-clustered write: file count = dates × k, not partitions ×
-        # dates (same rule as txn.swap_commit / checkpoint.write_tier)
-        cores = spark.sparkContext.defaultParallelism
-        k = max(1, -(-2 * cores // max(len(dates), 1)))
+        # dates; k SIZE-derived like txn.swap_commit/checkpoint.write_tier
+        # (~1M rows per file per date, floor 1). The count is a cheap read
+        # of the just-checkpointed blocks, not a recompute.
+        n_rows = tier.count()
+        k = max(1, -(-n_rows // (1_000_000 * max(len(dates), 1))))
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in tier.columns]), F.lit(k)
         )
