@@ -126,8 +126,17 @@ def write_tier(
         # from the fingerprint upper-bounds the tier's rows.
         n_dates = _fingerprint_days(fingerprint)
         rows_bound = int(fingerprint.get("rows", 0) or 0)
+        # desired write tasks from data size (~250k rows/task, capped at
+        # 2×cores) — keeps big tiers parallel without inflating small
+        # tiers' file count (same three-term rule as txn.swap_commit)
+        desired_tasks = min(
+            -(-rows_bound // 250_000),
+            2 * df.sparkSession.sparkContext.defaultParallelism,
+        )
         k = max(
-            files_per_date, -(-rows_bound // (1_000_000 * max(n_dates, 1)))
+            files_per_date,
+            -(-desired_tasks // max(n_dates, 1)),
+            -(-rows_bound // (1_000_000 * max(n_dates, 1))),
         )
         writer = (
             df.withColumn("bucket_date", F.to_date("bucket_start"))

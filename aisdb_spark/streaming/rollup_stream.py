@@ -157,6 +157,7 @@ def upsert_rollup_batch(
         if not dates:
             return
         out = new
+        out_rows = sum(r["count"] for r in by_date)
         if _tier_nonempty(spark, tier_dir):
             existing = spark.read.parquet(tier_dir).filter(
                 F.col("bucket_date").isin(dates)  # partition-pruned scan
@@ -170,9 +171,12 @@ def upsert_rollup_batch(
             # swap_commit renames away (first-batch writes have no
             # self-read and skip the double materialization)
             out = keep.unionByName(new).localCheckpoint(eager=True)
+            # exact output size for the swap's write sizing — a cheap
+            # scan of the just-checkpointed blocks, not a recompute
+            out_rows = out.count()
         txn.swap_commit(
             spark, tier_dir, out, dates, epoch_id=epoch_id,
-            rows_hint=sum(r["count"] for r in by_date),
+            rows_hint=out_rows,
         )
     finally:
         new.unpersist()
@@ -293,6 +297,7 @@ def upsert_rollup_partials_batch(
         if not dates:
             return
         merged = newp
+        merged_rows = sum(r["count"] for r in by_date)
         if _tier_nonempty(spark, tier_dir):
             existing = spark.read.parquet(tier_dir).filter(
                 F.col("bucket_date").isin(dates)  # partition-pruned scan
@@ -306,9 +311,12 @@ def upsert_rollup_partials_batch(
             # swap_commit renames away (first-batch writes skip the
             # double materialization)
             merged = merged.localCheckpoint(eager=True)
+            # exact output size for the swap's write sizing — a cheap
+            # scan of the just-checkpointed blocks, not a recompute
+            merged_rows = merged.count()
         txn.swap_commit(
             spark, tier_dir, merged, dates, epoch_id=epoch_id,
-            rows_hint=sum(r["count"] for r in by_date),
+            rows_hint=merged_rows,
         )
     finally:
         newp.unpersist()

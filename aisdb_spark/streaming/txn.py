@@ -197,23 +197,30 @@ def swap_commit(
     # per micro-batch at 32 partitions × 30 dates, 4-16 s to write and as
     # long again to read back). With it, file count is dates × k — the
     # same bucketed layout rule as checkpoint.write_tier. k is
-    # SIZE-derived (guide §6): ~512 MB of pre-existing partition bytes or
-    # ~1M new rows per file per date, floor 1 — small micro-batches write
-    # one file per date (commit cost ∝ file count; the old 2×cores rule
-    # wrote 3× the files for 10k-row batches), big partitions grow k with
-    # the data, which also restores ≥cores write tasks exactly when there
-    # is enough data for parallelism to matter. The salt is a
-    # deterministic row hash (task retries reproduce the same placement,
-    # guide §2.5). Callers that cannot hint fall back to bytes-only
-    # sizing (first batch into an empty tier: k=1, correct for any batch
-    # a single task can write).
+    # SIZE-derived (guide §6), from three terms, floor 1:
+    # - write parallelism: ~250k rows per write task, capped at 2×cores —
+    #   a 10k-row micro-batch writes ONE file per date (commit cost ∝
+    #   file count; a parallelism-only 2×cores rule wrote 3× the files),
+    #   while a 20M-row merge keeps ~2×cores write tasks (a
+    #   dates-only task count regressed that case 87→131 s at the 20M
+    #   drain: ~30 tasks from 30 hash keys collide into stragglers,
+    #   guide §2.5);
+    # - file sizing: ~512 MB of pre-existing partition bytes, and ~1M
+    #   rows, per file per date.
+    # The salt is a deterministic row hash (task retries reproduce the
+    # same placement). ``rows_hint`` should be the OUTPUT row count when
+    # the caller has it cheaply (post-localCheckpoint count); callers
+    # that cannot hint fall back to bytes-only sizing.
     from pyspark.sql import functions as F
 
     n_dates = max(len(dates), 1)
+    rows = int(rows_hint or 0)
+    desired_tasks = min(-(-rows // 250_000), 2 * spark.sparkContext.defaultParallelism)
     k = max(
         1,
+        -(-desired_tasks // n_dates),
         -(-backed_bytes // (512 * 1024 * 1024 * n_dates)),
-        -(-int(rows_hint or 0) // (1_000_000 * n_dates)),
+        -(-rows // (1_000_000 * n_dates)),
     )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in out.columns]), F.lit(k))
     out = out.repartition(n_dates * k, F.col("bucket_date"), salt)

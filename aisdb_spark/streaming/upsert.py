@@ -129,6 +129,7 @@ def upsert_batch(
         if not dates:
             return []
         merged = newp
+        merged_rows = sum(r["count"] for r in by_date)
         if fsio.tier_nonempty(spark, tier_dir):
             existing = spark.read.parquet(tier_dir).filter(
                 F.col("bucket_date").isin(dates)  # partition-pruned scan
@@ -143,10 +144,13 @@ def upsert_batch(
             # read its own target); first-batch writes skip the double
             # materialization
             merged = merged.localCheckpoint(eager=True)
+            # exact output size for the swap's write sizing — a cheap
+            # scan of the just-checkpointed blocks, not a recompute
+            merged_rows = merged.count()
         txn.swap_commit(
             spark, tier_dir, merged, dates, epoch_id=epoch_id,
             pending_refresh=dates if pending_refresh else None,
-            rows_hint=sum(r["count"] for r in by_date),
+            rows_hint=merged_rows,
         )
         return dates
     finally:
