@@ -1863,12 +1863,19 @@ def retention_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving dates — equality proves retention dropped exactly the right
     partitions and compaction changed no row anywhere."""
     from aisdb_spark import checkpoint, maintenance
+    from aisdb_spark.operators import rollup
     from aisdb_spark.streaming import fsio
 
     tv = _tv(spark, sf_dir)
     base = fsio.scratch_dir("spark_maint_")
-    checkpoint.materialize_cascade(spark, tv, base)
+    # Only the 1min tier is fragmented/compacted/retained and returned —
+    # materializing the full 1h/1d cascade here was dead work (guide §1.2:
+    # don't compute things you throw away). Same write path (write_tier)
+    # and layout as materialize_cascade's 1min stage.
     tier = f"{base}/1min"
+    checkpoint.write_tier(
+        rollup.temporal_bin(tv, "minute"), tier, checkpoint.input_fingerprint(tv)
+    )
     parts = maintenance._date_partitions(tier)
     # fragment day 0, then compact it back (no-op on the other days)
     frag = (
@@ -1921,15 +1928,18 @@ def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       the driver never touches archive bytes."""
     import glob as _glob
     import os
-    import tempfile
     import zipfile
 
     from aisdb_spark.sources import io as sio
+    from aisdb_spark.streaming import fsio
 
     t = load_transcripts(spark, sf_dir)
     half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
 
-    base = tempfile.mkdtemp(prefix="spark_ingest_")
+    # CSV/zip staging on fsio.scratch_dir (tmpfs default) — same placement
+    # and justification as the drain tiers: this box's /tmp is a slow
+    # virtual disk; on a cluster this is the local-SSD scratch volume.
+    base = fsio.scratch_dir("spark_ingest_")
     sio.write_transcripts_csv(t.filter(half == 0), f"{base}/a", compress=False)
     sio.write_transcripts_csv(t.filter(half == 1), f"{base}/b", compress=True)
     paths = sorted(
@@ -1940,7 +1950,7 @@ def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit()
     assert sio.ingest_files(spark, paths, ledger) is None  # idempotent re-run
 
-    zbase = tempfile.mkdtemp(prefix="spark_zip_")
+    zbase = fsio.scratch_dir("spark_zip_")
     for i in range(2):
         sio.write_transcripts_csv(t.filter(half == i), f"{zbase}/csv{i}")
         with zipfile.ZipFile(
