@@ -138,7 +138,17 @@ def with_media(docs: DataFrame) -> DataFrame:
                 out, columns=["doc_id", "media", "media_type", "width", "height"]
             )
 
-    return docs.select("doc_id").mapInPandas(_gen, MEDIA_SCHEMA)
+    ids = docs.select("doc_id")
+    # Scale-adaptive scan spread (same rule as textops/similarity
+    # _spread_scan): a small corpus arrives as one parquet row group →
+    # one scan task → every payload generation AND the downstream
+    # mapInPandas decode kernels run single-threaded. Repartition on
+    # doc_id only when the scan has fewer partitions than cores; a large
+    # corpus already scans in many splits and takes no extra shuffle.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        ids = ids.repartition(target, "doc_id")
+    return ids.mapInPandas(_gen, MEDIA_SCHEMA)
 
 
 _FEATURE_COLS = [
